@@ -1,0 +1,116 @@
+"""Shading-frame trigonometry and frame construction.
+
+Local frame convention: the shading normal is +z (ref:
+src/geometry/foundamental.rs mod normal, :205-309).  All functions are
+batched over leading axes; `w` is a [..., 3] direction in the local
+frame.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from arendur_tpu.geometry.vec import vec3, dot, cross, normalize
+
+
+def cos_theta(w):
+    return w[..., 2]
+
+
+def cos2_theta(w):
+    return w[..., 2] * w[..., 2]
+
+
+def sin2_theta(w):
+    return jnp.abs(1.0 - cos2_theta(w))
+
+
+def sin_theta(w):
+    return jnp.sqrt(sin2_theta(w))
+
+
+def tan_theta(w):
+    return sin_theta(w) / cos_theta(w)
+
+
+def tan2_theta(w):
+    return sin2_theta(w) / cos2_theta(w)
+
+
+def cos_phi(w):
+    st = sin_theta(w)
+    return jnp.where(st == 0.0, 1.0, jnp.clip(w[..., 0] / st, -1.0, 1.0))
+
+
+def sin_phi(w):
+    st = sin_theta(w)
+    return jnp.where(st == 0.0, 0.0, jnp.clip(w[..., 1] / st, -1.0, 1.0))
+
+
+def cos2_phi(w):
+    c = cos_phi(w)
+    return c * c
+
+
+def sin2_phi(w):
+    s = sin_phi(w)
+    return s * s
+
+
+def reflect(wo, n):
+    """Mirror wo about n (ref: foundamental.rs:277)."""
+    return -wo + 2.0 * dot(wo, n, keepdims=True) * n
+
+
+def refract(wo, n, eta):
+    """Refract wo about n with relative ior eta = etai/etat.
+
+    Returns (wt, ok) where ok=False marks total internal reflection
+    (the reference returns Option; ref: foundamental.rs:283-295).
+    wt is zero-filled where ok is False.
+    """
+    ct = dot(wo, n)
+    eta = jnp.broadcast_to(jnp.asarray(eta, wo.dtype), ct.shape)
+    sin2 = jnp.maximum(1.0 - ct * ct, 0.0)
+    sin2_t = eta * eta * sin2
+    ok = sin2_t < 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    wt = -eta[..., None] * wo + (eta * ct - cos_t)[..., None] * n
+    return jnp.where(ok[..., None], wt, 0.0), ok
+
+
+def get_basis_from(dir):
+    """Return (u, v) completing `dir` to an orthonormal basis
+    (ref: foundamental.rs:299-309: up=z unless dir≈z, then up=y)."""
+    near_z = jnp.abs(jnp.abs(dir[..., 2]) - 1.0) < 1e-5
+    up = jnp.where(
+        near_z[..., None],
+        jnp.asarray([0.0, 1.0, 0.0], dir.dtype),
+        jnp.asarray([0.0, 0.0, 1.0], dir.dtype))
+    u = normalize(cross(up, dir))
+    v = normalize(cross(dir, u))
+    return u, v
+
+
+def make_frame(ns, ts):
+    """Build a (t, b, n) orthonormal frame from normal + tangent hint
+    (ref: material/bsdf.rs:36-44: ts = normalize(dpdu), bs = n×ts)."""
+    t = normalize(ts)
+    b = normalize(cross(ns, t))
+    return t, b, ns
+
+
+def to_local(t, b, n, v):
+    """World->local: (v·t, v·b, v·n)  (ref: bsdf.rs:67-69)."""
+    return jnp.stack([dot(v, t), dot(v, b), dot(v, n)], axis=-1)
+
+
+def to_world(t, b, n, v):
+    """Local->world (ref: bsdf.rs:73-79)."""
+    return (v[..., 0:1] * t + v[..., 1:2] * b + v[..., 2:3] * n)
+
+
+def spherical_to_vec(theta, phi):
+    """(theta, phi) -> unit vector, z = cos(theta)."""
+    st = jnp.sin(theta)
+    return vec3(st * jnp.cos(phi), st * jnp.sin(phi), jnp.cos(theta))

@@ -1,0 +1,108 @@
+"""4x4 transforms in the reference's cgmath layout.
+
+The reference serializes cgmath ``Matrix4f`` as four length-4 arrays,
+one per *column* (ref: examples/cornellbox/cb.json "transform"
+entries).  We store exactly that JSON layout as a [4, 4] array, which
+makes application a *row-vector* product:
+
+    p' = [px, py, pz, 1] @ M,  followed by a homogeneous divide.
+
+(cgmath's ``transform_point`` is ``Point3::from_homogeneous(M * p_h)``
+which performs the divide; the Cornell-box mesh transform genuinely has
+a projective term, so the divide is load-bearing for parity.)
+
+Composition: ``compose(a, b) == a @ b`` applies ``a`` first, then ``b``.
+Normals transform through the inverse transpose
+(ref: src/geometry/transform.rs:53-58).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Small geometry matmuls must stay exact f32 on TPU (the MXU's default
+# precision is bf16-ish, which visibly distorts ray origins).
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
+
+
+def identity4(dtype=jnp.float32):
+    return jnp.eye(4, dtype=dtype)
+
+
+def matmul4(first, then):
+    """Compose two transforms: apply `first`, then `then`."""
+    return _mm(first, then)
+
+
+def transform_point(m, p):
+    """Apply m to points p [..., 3], with homogeneous divide."""
+    out = _mm(p, m[:3, :3]) + m[3, :3]
+    w = _mm(p, m[:3, 3:4])[..., 0] + m[3, 3]
+    return out / w[..., None]
+
+
+def transform_vector(m, v):
+    """Apply m to direction vectors (no translation, no divide)."""
+    return _mm(v, m[:3, :3])
+
+
+def transform_norm(m, n):
+    """Apply m to normals via the inverse-transpose of the 3x3 block."""
+    inv = jnp.linalg.inv(m[:3, :3])
+    return _mm(n, inv.T)
+
+
+def inverse4(m):
+    return jnp.linalg.inv(m)
+
+
+def translate(v, dtype=jnp.float32):
+    m = jnp.eye(4, dtype=dtype)
+    return m.at[3, :3].set(jnp.asarray(v, dtype))
+
+
+def scale_mat(sx, sy, sz, dtype=jnp.float32):
+    return jnp.diag(jnp.asarray([sx, sy, sz, 1.0], dtype))
+
+
+def perspective_matrix(fov, znear, zfar, dtype=jnp.float32):
+    """Perspective view->screen matrix (ref: perspective.rs:93-107).
+
+    Row-layout storage of cgmath columns; composition is
+    persp @ scale(inv_tan, inv_tan, 1).
+    """
+    f = float(zfar)
+    n = float(znear)
+    persp = np.array(
+        [[1.0, 0.0, 0.0, 0.0],
+         [0.0, 1.0, 0.0, 0.0],
+         [0.0, 0.0, f / (f - n), 1.0],
+         [0.0, 0.0, -f * n / (f - n), 0.0]], dtype=np.float32)
+    inv_tan = 1.0 / np.tan(0.5 * float(fov))
+    scale = np.diag(np.array([inv_tan, inv_tan, 1.0, 1.0], dtype=np.float32))
+    return jnp.asarray(persp @ scale, dtype)
+
+
+def look_at(eye, to, up):
+    """World->view matrix (ref: perspective.rs:109-121 look_from)."""
+    eye = np.asarray(eye, np.float32)
+    to = np.asarray(to, np.float32)
+    up = np.asarray(up, np.float32)
+    fwd = to - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    s = np.cross(up, fwd)
+    s = s / np.linalg.norm(s)
+    u = np.cross(fwd, s)
+    m = np.array(
+        [[s[0], u[0], fwd[0], 0.0],
+         [s[1], u[1], fwd[1], 0.0],
+         [s[2], u[2], fwd[2], 0.0],
+         [-eye @ s, -eye @ u, -eye @ fwd, 1.0]], dtype=np.float32)
+    # row i of the array above is already cgmath column i, i.e. our storage layout
+    return jnp.asarray(m)

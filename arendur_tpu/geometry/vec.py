@@ -1,0 +1,75 @@
+"""Batched 3-vector helpers over jnp arrays shaped [..., 3].
+
+Replaces the reference's cgmath Vector3f/Point3f scalar math
+(ref: src/geometry/foundamental.rs) with SoA-friendly batched ops.
+All functions broadcast over leading axes so a "vector" here is a
+whole wavefront of vectors.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+EPS = 1e-8
+
+
+def vec3(x, y, z, dtype=jnp.float32):
+    """Stack three scalars-or-arrays into a [..., 3] vector."""
+    return jnp.stack(jnp.broadcast_arrays(
+        jnp.asarray(x, dtype), jnp.asarray(y, dtype), jnp.asarray(z, dtype)),
+        axis=-1)
+
+
+def to_f32(a):
+    return jnp.asarray(a, jnp.float32)
+
+
+def dot(a, b, keepdims: bool = False):
+    return jnp.sum(a * b, axis=-1, keepdims=keepdims)
+
+
+def cross(a, b):
+    return jnp.cross(a, b)
+
+
+def length2(a, keepdims: bool = False):
+    return jnp.sum(a * a, axis=-1, keepdims=keepdims)
+
+
+def length(a, keepdims: bool = False):
+    return jnp.sqrt(length2(a, keepdims=keepdims))
+
+
+def normalize(a, eps: float = 0.0):
+    """Normalize along the last axis.
+
+    With eps=0 this matches the reference exactly (may produce
+    inf/nan on zero vectors, like cgmath's ``normalize``); pass a
+    small eps for gradient-safe normalization.
+    """
+    n2 = length2(a, keepdims=True)
+    if eps:
+        n2 = jnp.maximum(n2, eps)
+    return a * jnp.sqrt(1.0 / n2)
+
+
+def distance2(a, b, keepdims: bool = False):
+    return length2(a - b, keepdims=keepdims)
+
+
+def distance(a, b, keepdims: bool = False):
+    return length(a - b, keepdims=keepdims)
+
+
+def lerp(a, b, t):
+    return a + (b - a) * t
+
+
+def max_component(a):
+    return jnp.max(a, axis=-1)
+
+
+def abs_max_axis(a):
+    """Index of the component with largest |value| (ref: ray.rs shearing
+    transform picks the dominant axis)."""
+    return jnp.argmax(jnp.abs(a), axis=-1)

@@ -1,0 +1,122 @@
+"""Tests for warps, MIS heuristics, distributions, filters, sampler."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from arendur_tpu.sampling import warps, distribution, filters, sampler
+
+
+def uniforms(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(size=(n, 2)).astype(np.float32))
+
+
+class TestWarps:
+    def test_unit_norm(self):
+        u = uniforms(512)
+        for f in (warps.sample_uniform_sphere,
+                  warps.sample_cosw_hemisphere):
+            w = np.asarray(f(u))
+            np.testing.assert_allclose(
+                np.linalg.norm(w, axis=-1), 1.0, atol=1e-4)
+
+    def test_cosw_hemisphere_mean(self):
+        # E[cos theta] under p = cos/pi is 2/3
+        u = uniforms(200_000, 1)
+        w = np.asarray(warps.sample_cosw_hemisphere(u))
+        assert w[:, 2].min() >= 0.0
+        np.testing.assert_allclose(w[:, 2].mean(), 2.0 / 3.0, atol=5e-3)
+
+    def test_concentric_disk_in_disk(self):
+        u = uniforms(4096, 2)
+        d = np.asarray(warps.sample_concentric_disk(u))
+        assert (np.linalg.norm(d, axis=-1) <= 1.0 + 1e-5).all()
+        # area uniformity: fraction inside r=0.5 disk is 1/4
+        frac = (np.linalg.norm(d, axis=-1) < 0.5).mean()
+        np.testing.assert_allclose(frac, 0.25, atol=0.02)
+
+    def test_triangle_barycentric(self):
+        u = uniforms(1024, 3)
+        b = np.asarray(warps.sample_uniform_triangle(u))
+        assert (b >= -1e-6).all()
+        np.testing.assert_allclose(b.sum(-1), 1.0, atol=1e-5)
+
+    def test_power_heuristic(self):
+        w = float(warps.power_heuristic(1, 2.0, 1, 1.0))
+        np.testing.assert_allclose(w, 4.0 / 5.0, rtol=1e-6)
+
+
+class TestDistribution1D:
+    def test_discrete_matches_weights(self):
+        f = [1.0, 3.0, 0.0, 4.0]
+        d = distribution.build_distribution_1d(f)
+        u = jnp.asarray(
+            np.random.default_rng(0).uniform(size=100_000).astype(np.float32))
+        idx, pdf = distribution.sample_discrete(d, u)
+        idx = np.asarray(idx)
+        counts = np.bincount(idx, minlength=4) / len(idx)
+        np.testing.assert_allclose(counts, [1 / 8, 3 / 8, 0, 4 / 8], atol=5e-3)
+        # pdf must agree with empirical frequency
+        np.testing.assert_allclose(
+            np.asarray(pdf)[idx == 1], 3 / 8, rtol=1e-5)
+
+    def test_uniform_fallback(self):
+        d = distribution.build_distribution_1d([0.0, 0.0])
+        idx, pdf = distribution.sample_discrete(
+            d, jnp.asarray([0.1, 0.9], jnp.float32))
+        np.testing.assert_allclose(np.asarray(pdf), 0.5)
+        assert list(np.asarray(idx)) == [0, 1]
+
+    def test_continuous(self):
+        d = distribution.build_distribution_1d([1.0, 3.0])
+        u = jnp.asarray(
+            np.random.default_rng(1).uniform(size=50_000).astype(np.float32))
+        x, pdf, _ = distribution.sample_continuous(d, u)
+        x = np.asarray(x)
+        frac_hi = (x > 0.5).mean()
+        np.testing.assert_allclose(frac_hi, 0.75, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(pdf)[x > 0.5], 1.5, rtol=1e-5)
+
+
+class TestFilters:
+    def test_box(self):
+        (rx, ry), f = filters.make_filter(filters.FilterSpec("box", (1, 1)))
+        assert float(f(jnp.zeros((1, 2)))[0]) == 1.0
+
+    def test_lanczos_center_and_zero(self):
+        _, f = filters.make_filter(filters.DEFAULT_FILTER)
+        assert abs(float(f(jnp.zeros((1, 2)))[0]) - 1.0) < 1e-5
+        # integer offsets hit sinc zeros
+        v = float(f(jnp.asarray([[2.0, 0.0]]))[0])
+        assert abs(v) < 1e-5
+
+    def test_mitchell_partition(self):
+        _, f = filters.make_filter(
+            filters.FilterSpec("mitchell", (2.0, 2.0)))
+        assert abs(float(f(jnp.zeros((1, 2)))[0])) > 0.1
+
+
+class TestSampler:
+    def test_deterministic_and_decorrelated(self):
+        key = sampler.make_base_key(0)
+        pix = jnp.arange(128, dtype=jnp.int32)
+        sid = jnp.zeros(128, jnp.int32)
+        ks = sampler.ray_keys(key, pix, sid)
+        u1 = sampler.uniform_1d(ks, 0)
+        u1b = sampler.uniform_1d(ks, 0)
+        np.testing.assert_array_equal(np.asarray(u1), np.asarray(u1b))
+        u2 = sampler.uniform_1d(ks, 1)
+        assert not np.allclose(np.asarray(u1), np.asarray(u2))
+        assert np.asarray(u1).std() > 0.2
+
+    def test_stratified_film(self):
+        key = sampler.make_base_key(0)
+        n = 16
+        pix = jnp.zeros(n, jnp.int32)
+        sid = jnp.arange(n, dtype=jnp.int32)
+        ks = sampler.ray_keys(key, pix, sid)
+        p = np.asarray(sampler.stratified_film_sample(ks, sid, 4, 4))
+        # each of the 16 strata is hit exactly once
+        cells = set(zip((p[:, 0] * 4).astype(int), (p[:, 1] * 4).astype(int)))
+        assert len(cells) == 16
