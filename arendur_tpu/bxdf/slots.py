@@ -1,0 +1,479 @@
+"""Slot-table BSDF: branchless wavefront mixture of bxdfs.
+
+The reference's ``Bsdf`` aggregates <=8 arena-allocated trait objects
+and dispatches virtually (ref: src/material/bsdf.rs).  Here every hit
+carries K fixed slots of typed parameter records; each bxdf model is
+evaluated for all lanes and the result masked by slot type.  The
+mixture semantics (uniform slot selection by u.x, specular handling,
+reflect/transmit classification against the geometric normal, pdf
+averaging) mirror Bsdf::{evaluate, evaluate_sampled, pdf}
+(bsdf.rs:82-222) exactly — including the reference's quirks, which are
+load-bearing for output parity:
+
+* the slot-selection sample u is passed to the chosen bxdf *without*
+  remapping (bsdf.rs:118), so e.g. FresnelBxdf's reflect/refract choice
+  sees a conditional u.x;
+* after a non-specular sample from a multi-slot bsdf, f and pdf are
+  re-accumulated only over slots whose kind intersects the *sampled*
+  kind, with the reflect/transmit test applied to the pdf sum too
+  (bsdf.rs:130-143);
+* direct lighting samples with BXDF_ALL including specular
+  (scene.rs:130), so specular paths contribute in both the NEE bsdf
+  branch and the specular-bounce Le re-add, as in the reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from arendur_tpu.geometry import frame
+from arendur_tpu.geometry.vec import vec3, dot, cross, normalize
+from arendur_tpu.bxdf import microfacet as mf
+from arendur_tpu.bxdf.fresnel import fresnel_dielectric, schlick_fresnel
+from arendur_tpu.bxdf.types import (
+    REFLECTION, TRANSMISSION, DIFFUSE, GLOSSY, SPECULAR, ALL,
+    T_NONE, T_LAMBERT_R, T_LAMBERT_T, T_OREN_NAYAR, T_FRESNEL_SPEC,
+    T_TS_R, T_TS_T, T_ASHIKHMIN, T_SPECULAR_R, T_SPECULAR_T,
+    KIND_OF_TYPE)
+
+PI = float(jnp.pi)
+INV_PI = 1.0 / PI
+MAX_SLOTS = 3  # glass uses 3 (fresnel + TS-R + TS-T); others fewer
+
+
+@struct.dataclass
+class BsdfSlots:
+    """Per-hit shading frame + K bxdf slots (SoA)."""
+    ns: jnp.ndarray    # [N,3] shading normal (local +z)
+    ts: jnp.ndarray    # [N,3] shading tangent
+    bs: jnp.ndarray    # [N,3] shading bitangent
+    ng: jnp.ndarray    # [N,3] geometric normal
+    eta: jnp.ndarray   # [N]
+    type: jnp.ndarray  # [N,K] int32 slot type ids
+    kind: jnp.ndarray  # [N,K] int32 kind bitflags
+    c0: jnp.ndarray    # [N,K,3]
+    c1: jnp.ndarray    # [N,K,3]
+    p0: jnp.ndarray    # [N,K]
+    p1: jnp.ndarray    # [N,K]
+    p2: jnp.ndarray    # [N,K]
+    dist: jnp.ndarray  # [N,K] int32
+
+    @property
+    def nslots(self):
+        return self.type.shape[-1]
+
+
+def make_bsdf_frame(ns, ng, dpdu):
+    """(ts, bs) from shading normal + dpdu hint (ref: bsdf.rs:36-44)."""
+    t = dpdu - ns * dot(ns, dpdu, keepdims=True)
+    bad = jnp.sum(t * t, -1, keepdims=True) < 1e-12
+    fb_u, _ = frame.get_basis_from(ns)
+    t = normalize(jnp.where(bad, fb_u, t))
+    b = normalize(cross(ns, t))
+    return t, b
+
+
+def empty_slots(n: int, k: int = MAX_SLOTS) -> dict:
+    """Mutable host-style dict of empty slot arrays to be filled by
+    materials, then frozen into BsdfSlots."""
+    return dict(
+        type=jnp.zeros((n, k), jnp.int32),
+        kind=jnp.zeros((n, k), jnp.int32),
+        c0=jnp.zeros((n, k, 3), jnp.float32),
+        c1=jnp.zeros((n, k, 3), jnp.float32),
+        p0=jnp.zeros((n, k), jnp.float32),
+        p1=jnp.zeros((n, k), jnp.float32),
+        p2=jnp.zeros((n, k), jnp.float32),
+        dist=jnp.zeros((n, k), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-slot evaluate / pdf (wo, wi in the local shading frame)
+# ---------------------------------------------------------------------------
+
+def _oren_nayar_eval(c0, p0, p1, wo, wi):
+    """ref: bxdf/oren_nayar.rs:40-60; A=p0, B=p1."""
+    sin_ti = frame.sin_theta(wi)
+    sin_to = frame.sin_theta(wo)
+    sin_pi_ = frame.sin_phi(wi)
+    sin_po = frame.sin_phi(wo)
+    cos_pi_ = frame.cos_phi(wi)
+    cos_po = frame.cos_phi(wo)
+    dcos = cos_pi_ * cos_po + sin_pi_ * sin_po
+    max_cos = jnp.where((sin_ti > 1e-4) | (sin_to > 1e-4),
+                        jnp.maximum(0.0, dcos), 0.0)
+    ci = jnp.abs(frame.cos_theta(wi))
+    co = jnp.abs(frame.cos_theta(wo))
+    sin_a = jnp.where(ci > co, sin_to, sin_ti)
+    tan_b = jnp.where(ci > co, sin_ti / jnp.maximum(ci, 1e-12),
+                      sin_to / jnp.maximum(co, 1e-12))
+    return c0 * (INV_PI
+                 * (p0 + p1 * max_cos * sin_a * tan_b))[..., None]
+
+
+def _ts_r_eval(c0, alpha, eta0, eta1, dist, wo, wi):
+    """Torrance-Sparrow reflection (ref: microfacet.rs:396-406) with
+    dielectric fresnel."""
+    wh = normalize(wo + wi)
+    nanmask = ~jnp.all(jnp.isfinite(wh), axis=-1)
+    d = mf.distribution(dist, wh, alpha, alpha)
+    g = mf.visible_both(dist, wo, wi, alpha, alpha)
+    fr = fresnel_dielectric(dot(wi, wh), eta0, eta1)
+    denom = 4.0 * jnp.abs(wo[..., 2]) * jnp.abs(wi[..., 2])
+    f = c0 * (d * g * fr / jnp.maximum(denom, 1e-20))[..., None]
+    return jnp.where(nanmask[..., None], 0.0, f)
+
+
+def _ts_t_eval(c0, alpha, eta0, eta1, dist, wo, wi):
+    """Torrance-Sparrow transmission (ref: microfacet.rs:459-490)."""
+    same_side = wo[..., 2] * wi[..., 2] > 0.0
+    eta = jnp.where(wo[..., 2] > 0.0, eta1 / eta0, eta0 / eta1)
+    wh = normalize(wo + wi * eta[..., None])
+    wh_bad = ~jnp.all(jnp.isfinite(wh), axis=-1)
+    wh = jnp.where((wh[..., 2] < 0.0)[..., None], -wh, wh)
+    cosoh = dot(wo, wh)
+    fr = fresnel_dielectric(cosoh, eta0, eta1)
+    cosih = dot(wi, wh)
+    sqrt_denom = cosoh + eta * cosih
+    d = mf.distribution(dist, wh, alpha, alpha)
+    g = mf.visible_both(dist, wo, wi, alpha, alpha)
+    denom = (jnp.abs(frame.cos_theta(wo)) * jnp.abs(frame.cos_theta(wi))
+             * sqrt_denom * sqrt_denom)
+    val = c0 * (d * g * (1.0 - fr) * jnp.abs(cosih) * jnp.abs(cosoh)
+                / jnp.maximum(denom, 1e-20))[..., None]
+    # eta == 1 degenerate: reference returns grey(1)
+    val = jnp.where(wh_bad[..., None], 1.0, val)
+    return jnp.where(same_side[..., None], 0.0, val)
+
+
+def _ashikhmin_eval(c0, c1, alpha, dist, wo, wi):
+    """Ashikhmin-Shirley diffuse+gloss coat (ref: microfacet.rs:567-589).
+    c0=diffuse, c1=specular."""
+    wh_raw = wo + wi
+    degen = jnp.sum(wh_raw * wh_raw, -1) < 1e-12
+    wh = normalize(jnp.where(degen[..., None], vec3(
+        jnp.ones_like(degen, jnp.float32), 0.0, 0.0), wh_raw))
+    term_o = 1.0 - (1.0 - 0.5 * jnp.abs(frame.cos_theta(wo))) ** 5
+    term_i = 1.0 - (1.0 - 0.5 * jnp.abs(frame.cos_theta(wi))) ** 5
+    diffuse = (28.0 / (23.0 * PI)) * c0 * (1.0 - c1) \
+        * (term_o * term_i)[..., None]
+    d = mf.distribution(dist, wh, alpha, alpha)
+    cosih = dot(wi, wh)
+    denom = 4.0 * jnp.abs(cosih) * jnp.maximum(
+        jnp.abs(frame.cos_theta(wi)), jnp.abs(frame.cos_theta(wo)))
+    spec = (d / jnp.maximum(denom, 1e-20))[..., None] \
+        * schlick_fresnel(cosih, c1)
+    return jnp.where(degen[..., None], 0.0, diffuse + spec)
+
+
+def slot_eval(stype, c0, c1, p0, p1, p2, dist, wo, wi):
+    """f(wo, wi) for one slot column, all lanes.  stype [N]; colors
+    [N,3]; scalars [N]."""
+    zero = jnp.zeros_like(c0)
+    lam_r = c0 * INV_PI
+    lam_t = c0 * INV_PI
+    on = _oren_nayar_eval(c0, p0, p1, wo, wi)
+    tsr = _ts_r_eval(c0, p0, p1, p2, dist, wo, wi)
+    tst = _ts_t_eval(c0, p0, p1, p2, dist, wo, wi)
+    ash = _ashikhmin_eval(c0, c1, p0, dist, wo, wi)
+    out = zero
+    for t, val in ((T_LAMBERT_R, lam_r), (T_LAMBERT_T, lam_t),
+                   (T_OREN_NAYAR, on), (T_TS_R, tsr), (T_TS_T, tst),
+                   (T_ASHIKHMIN, ash)):
+        out = jnp.where((stype == t)[..., None], val, out)
+    return out
+
+
+def _cos_pdf_same(wo, wi):
+    return jnp.where(wo[..., 2] * wi[..., 2] > 0.0,
+                     jnp.abs(frame.cos_theta(wi)) * INV_PI, 0.0)
+
+
+def _cos_pdf_opposite(wo, wi):
+    return jnp.where(wo[..., 2] * wi[..., 2] >= 0.0, 0.0,
+                     jnp.abs(frame.cos_theta(wi)) * INV_PI)
+
+
+def _ts_r_pdf(alpha, dist, wo, wi):
+    wh = normalize(wo + wi)
+    pdf = mf.pdf_wh(dist, wo, wh, alpha, alpha) / (4.0 * dot(wo, wh))
+    pdf = jnp.where(jnp.isfinite(pdf), pdf, 0.0)
+    return jnp.where(wo[..., 2] * wi[..., 2] <= 0.0, 0.0, pdf)
+
+
+def _ts_t_pdf(alpha, eta0, eta1, dist, wo, wi):
+    eta = jnp.where(wo[..., 2] > 0.0, eta1 / eta0, eta0 / eta1)
+    wh = normalize(wo + wi * eta[..., None])
+    bad = ~jnp.all(jnp.isfinite(wh), axis=-1)
+    sqrt_denom = dot(wo, wh) + eta * dot(wi, wh)
+    dhdi = eta * eta * jnp.abs(dot(wi, wh)) / jnp.maximum(
+        sqrt_denom * sqrt_denom, 1e-20)
+    pdf = mf.pdf_wh(dist, wo, wh, alpha, alpha) * dhdi
+    pdf = jnp.where(bad, 1.0, pdf)
+    return jnp.where(wo[..., 2] * wi[..., 2] > 0.0, 0.0, pdf)
+
+
+def _ashikhmin_pdf(alpha, dist, wo, wi):
+    wh = normalize(wo + wi)
+    p = mf.pdf_wh(dist, wo, wh, alpha, alpha) / (4.0 * dot(wo, wh))
+    p = jnp.where(jnp.isfinite(p), p, 0.0)
+    pdf = 0.5 * (p + jnp.abs(frame.cos_theta(wi)) * INV_PI)
+    return jnp.where(wo[..., 2] * wi[..., 2] < 0.0, 0.0, pdf)
+
+
+def slot_pdf(stype, p0, p1, p2, dist, wo, wi):
+    zero = jnp.zeros(stype.shape, jnp.float32)
+    out = zero
+    for t, val in (
+            (T_LAMBERT_R, _cos_pdf_same(wo, wi)),
+            (T_OREN_NAYAR, _cos_pdf_same(wo, wi)),
+            (T_LAMBERT_T, _cos_pdf_opposite(wo, wi)),
+            (T_TS_R, _ts_r_pdf(p0, dist, wo, wi)),
+            (T_TS_T, _ts_t_pdf(p0, p1, p2, dist, wo, wi)),
+            (T_ASHIKHMIN, _ashikhmin_pdf(p0, dist, wo, wi))):
+        out = jnp.where(stype == t, val, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-slot sampling
+# ---------------------------------------------------------------------------
+
+def slot_sample(stype, c0, c1, p0, p1, p2, dist, wo, u):
+    """Sample wi for one slot column; returns (f [N,3], wi [N,3],
+    pdf [N], sampled_kind [N] int32).  u is the *raw* 2D sample, not
+    remapped after slot selection (reference quirk)."""
+    n = wo.shape[0]
+    ux = u[..., 0]
+
+    # --- cosine-hemisphere families -------------------------------------
+    from arendur_tpu.sampling.warps import sample_cosw_hemisphere
+    wi_cos = sample_cosw_hemisphere(u)
+    wi_same = jnp.where((wo[..., 2] < 0.0)[..., None],
+                        wi_cos * jnp.asarray([1.0, 1.0, -1.0]), wi_cos)
+    wi_opp = jnp.where((wo[..., 2] > 0.0)[..., None],
+                       wi_cos * jnp.asarray([1.0, 1.0, -1.0]), wi_cos)
+
+    # --- fresnel specular (FresnelBxdf, fresnel.rs:166-197) -------------
+    cos_theta = frame.cos_theta(wo)
+    fr = fresnel_dielectric(cos_theta, p0, p1)
+    refl = ux < fr
+    wi_mirror = wo * jnp.asarray([-1.0, -1.0, 1.0])
+    f_refl = (fr / jnp.maximum(jnp.abs(cos_theta), 1e-20))[..., None] * c0
+    pdf_refl = fr
+    entering = cos_theta > 0.0
+    etai = jnp.where(entering, p0, p1)
+    etao = jnp.where(entering, p1, p0)
+    nrm = jnp.where(entering[..., None],
+                    jnp.asarray([0.0, 0.0, 1.0]),
+                    jnp.asarray([0.0, 0.0, -1.0]))
+    nrm = jnp.broadcast_to(nrm, wo.shape)
+    eta_rel = etai / etao
+    wt, ok_t = frame.refract(wo, nrm, eta_rel)
+    pdf_trans = 1.0 - fr
+    f_trans = jnp.where(
+        ok_t[..., None],
+        c1 * (eta_rel * eta_rel * pdf_trans
+              / jnp.maximum(jnp.abs(wt[..., 2]), 1e-20))[..., None],
+        0.0)
+    fres_f = jnp.where(refl[..., None], f_refl, f_trans)
+    fres_wi = jnp.where(refl[..., None], wi_mirror, wt)
+    fres_pdf = jnp.where(refl, pdf_refl, pdf_trans)
+    fres_kind = jnp.where(refl, REFLECTION | SPECULAR,
+                          TRANSMISSION | SPECULAR)
+
+    # --- Torrance-Sparrow reflection ------------------------------------
+    wh_r = mf.sample_wh(dist, wo, u, p0, p0)
+    wi_tsr = normalize(2.0 * dot(wo, wh_r, keepdims=True) * wh_r - wo)
+    pdf_tsr = mf.pdf_wh(dist, wo, wh_r, p0, p0) / (4.0 * dot(wo, wh_r))
+    pdf_tsr = jnp.where(jnp.isfinite(pdf_tsr), pdf_tsr, 0.0)
+    f_tsr = jnp.where(
+        (wo[..., 2] * wi_tsr[..., 2] <= 0.0)[..., None],
+        0.0, _ts_r_eval(c0, p0, p1, p2, dist, wo, wi_tsr))
+
+    # --- Torrance-Sparrow transmission ----------------------------------
+    eta_tst = jnp.where(wo[..., 2] > 0.0, p1 / p2, p2 / p1)
+    wi_tst, ok_tst = frame.refract(wo, wh_r, eta_tst)
+    pdf_tst = jnp.where(ok_tst, _ts_t_pdf(p0, p1, p2, dist, wo, wi_tst),
+                        0.0)
+    f_tst = jnp.where(ok_tst[..., None],
+                      _ts_t_eval(c0, p0, p1, p2, dist, wo, wi_tst), 0.0)
+
+    # --- Ashikhmin-Shirley 50/50 mixture --------------------------------
+    spec_path = ux < 0.5
+    u_spec = jnp.stack([ux * 2.0, u[..., 1]], axis=-1)
+    u_diff = jnp.stack([(1.0 - ux) * 2.0, u[..., 1]], axis=-1)
+    wh_a = mf.sample_wh(dist, wo, u_spec, p0, p0)
+    wi_as = normalize(2.0 * dot(wo, wh_a, keepdims=True) * wh_a - wo)
+    wi_ad_raw = sample_cosw_hemisphere(u_diff)
+    wi_ad = jnp.where((wi_ad_raw[..., 2] < 0.0)[..., None],
+                      wi_ad_raw * jnp.asarray([1.0, 1.0, -1.0]), wi_ad_raw)
+    wi_ash = jnp.where(spec_path[..., None], wi_as, wi_ad)
+    bad_spec = spec_path & (wo[..., 2] * wi_ash[..., 2] <= 0.0)
+    pdf_ash = _ashikhmin_pdf(p0, dist, wo, wi_ash)
+    f_ash = jnp.where(bad_spec[..., None], 0.0,
+                      _ashikhmin_eval(c0, c1, p0, dist, wo, wi_ash))
+
+    # --- perfect specular R / T (specular.rs) ---------------------------
+    cos_r = frame.cos_theta(wi_mirror)
+    fr_sr = fresnel_dielectric(cos_r, p0, p1)
+    f_sr = (fr_sr / jnp.maximum(jnp.abs(cos_r), 1e-20))[..., None] * c0
+    f_st = ((1.0 - fr_sr) / jnp.maximum(jnp.abs(cos_r), 1e-20))[..., None] * c0
+
+    # --- select by slot type --------------------------------------------
+    def pick(table):
+        fv = jnp.zeros((n, 3), jnp.float32)
+        wiv = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (n, 3))
+        pv = jnp.zeros((n,), jnp.float32)
+        kv = jnp.zeros((n,), jnp.int32)
+        for t, (f_, wi_, p_, k_) in table.items():
+            m = stype == t
+            fv = jnp.where(m[..., None], f_, fv)
+            wiv = jnp.where(m[..., None], wi_, wiv)
+            pv = jnp.where(m, p_, pv)
+            kv = jnp.where(m, k_, kv)
+        return fv, wiv, pv, kv
+
+    lam_r_f = c0 * INV_PI
+    on_f = _oren_nayar_eval(c0, p0, p1, wo, wi_same)
+    table = {
+        T_LAMBERT_R: (lam_r_f, wi_same, _cos_pdf_same(wo, wi_same),
+                      jnp.full((n,), KIND_OF_TYPE[T_LAMBERT_R], jnp.int32)),
+        T_OREN_NAYAR: (on_f, wi_same, _cos_pdf_same(wo, wi_same),
+                       jnp.full((n,), KIND_OF_TYPE[T_OREN_NAYAR], jnp.int32)),
+        T_LAMBERT_T: (c0 * INV_PI, wi_opp, _cos_pdf_opposite(wo, wi_opp),
+                      jnp.full((n,), KIND_OF_TYPE[T_LAMBERT_T], jnp.int32)),
+        T_FRESNEL_SPEC: (fres_f, fres_wi, fres_pdf, fres_kind),
+        T_TS_R: (f_tsr, wi_tsr, pdf_tsr,
+                 jnp.full((n,), KIND_OF_TYPE[T_TS_R], jnp.int32)),
+        T_TS_T: (f_tst, wi_tst, pdf_tst,
+                 jnp.full((n,), KIND_OF_TYPE[T_TS_T], jnp.int32)),
+        T_ASHIKHMIN: (f_ash, wi_ash, pdf_ash,
+                      jnp.full((n,), KIND_OF_TYPE[T_ASHIKHMIN], jnp.int32)),
+        T_SPECULAR_R: (f_sr, wi_mirror, jnp.ones((n,), jnp.float32),
+                       jnp.full((n,), KIND_OF_TYPE[T_SPECULAR_R], jnp.int32)),
+        T_SPECULAR_T: (f_st, wi_mirror, jnp.ones((n,), jnp.float32),
+                       jnp.full((n,), KIND_OF_TYPE[T_SPECULAR_T], jnp.int32)),
+    }
+    return pick(table)
+
+
+# ---------------------------------------------------------------------------
+# BSDF-level mixture (ref: bsdf.rs)
+# ---------------------------------------------------------------------------
+
+def _to_local(b: BsdfSlots, v):
+    return frame.to_local(b.ts, b.bs, b.ns, v)
+
+
+def _to_world(b: BsdfSlots, v):
+    return frame.to_world(b.ts, b.bs, b.ns, v)
+
+
+def _slot_col(b: BsdfSlots, k: int):
+    return (b.type[:, k], b.c0[:, k], b.c1[:, k], b.p0[:, k],
+            b.p1[:, k], b.p2[:, k], b.dist[:, k])
+
+
+def match_count(b: BsdfSlots, types: int = ALL):
+    """#slots whose kind intersects `types` (ref: bsdf.rs:52-62)."""
+    m = (b.kind & types) != 0
+    return jnp.sum(m.astype(jnp.int32), axis=-1)
+
+
+def bsdf_evaluate(b: BsdfSlots, wow, wiw, types: int = ALL):
+    """Sum matching slots with reflect/transmit classification
+    (ref: bsdf.rs:82-98).  Returns (f [N,3], kinds [N] int32)."""
+    wo = normalize(_to_local(b, wow))
+    wi = normalize(_to_local(b, wiw))
+    is_refl = dot(wow, b.ng) * dot(wiw, b.ng) > 0.0
+    f = jnp.zeros(wow.shape, jnp.float32)
+    kinds = jnp.zeros(wow.shape[:-1], jnp.int32)
+    for k in range(b.nslots):
+        stype, c0, c1, p0, p1, p2, dist = _slot_col(b, k)
+        kindk = b.kind[:, k]
+        sel = ((kindk & types) != 0) & jnp.where(
+            is_refl, (kindk & REFLECTION) != 0, (kindk & TRANSMISSION) != 0)
+        fk = slot_eval(stype, c0, c1, p0, p1, p2, dist, wo, wi)
+        f = f + jnp.where(sel[..., None], fk, 0.0)
+        kinds = kinds | jnp.where(sel, kindk & types, 0)
+    return f, kinds
+
+
+def bsdf_pdf(b: BsdfSlots, wow, wiw, types: int = ALL):
+    """Mean pdf over matching slots (ref: bsdf.rs:205-222)."""
+    wo = normalize(_to_local(b, wow))
+    wi = normalize(_to_local(b, wiw))
+    total = jnp.zeros(wow.shape[:-1], jnp.float32)
+    count = jnp.zeros(wow.shape[:-1], jnp.int32)
+    for k in range(b.nslots):
+        stype, c0, c1, p0, p1, p2, dist = _slot_col(b, k)
+        m = (b.kind[:, k] & types) != 0
+        pk = slot_pdf(stype, p0, p1, p2, dist, wo, wi)
+        total = total + jnp.where(m, jnp.maximum(pk, 0.0), 0.0)
+        count = count + m.astype(jnp.int32)
+    pdf = jnp.where(count > 0, total / jnp.maximum(count, 1), total)
+    return jnp.where(wo[..., 2] == 0.0, 0.0, pdf)
+
+
+def bsdf_sample(b: BsdfSlots, wow, u, types: int = ALL):
+    """Mixture sampling (ref: bsdf.rs:100-144).
+
+    Returns (f [N,3], wiw [N,3], pdf [N], sampled_kind [N] int32).
+    """
+    n = wow.shape[0]
+    nmatch = match_count(b, types)
+    wo = normalize(_to_local(b, wow))
+
+    idx = jnp.minimum(
+        (u[..., 0] * nmatch.astype(jnp.float32)).astype(jnp.int32),
+        jnp.maximum(nmatch - 1, 0))
+
+    # gather the idx-th *matching* slot's parameters per lane
+    running = jnp.zeros((n,), jnp.int32)
+    sel_k = jnp.zeros((n,), jnp.int32)
+    for k in range(b.nslots):
+        m = (b.kind[:, k] & types) != 0
+        hit_here = m & (running == idx)
+        sel_k = jnp.where(hit_here, k, sel_k)
+        running = running + m.astype(jnp.int32)
+    take = lambda arr: jnp.take_along_axis(arr, sel_k[:, None], 1)[:, 0]
+    take3 = lambda arr: jnp.take_along_axis(
+        arr, sel_k[:, None, None], 1)[:, 0]
+    stype = take(b.type)
+    f, wi, pdf, skind = slot_sample(
+        stype, take3(b.c0), take3(b.c1), take(b.p0), take(b.p1),
+        take(b.p2), take(b.dist), wo, u)
+    skind = skind & types
+    is_spec = (take(b.kind) & SPECULAR) != 0
+
+    wiw = _to_world(b, wi)
+
+    # multi-slot non-specular: re-accumulate f and average pdf over
+    # slots matching the sampled kind (ref: bsdf.rs:129-143)
+    multi = (nmatch > 1) & ~is_spec
+    is_refl = dot(wow, b.ng) * dot(wiw, b.ng) > 0.0
+    f_acc = jnp.zeros((n, 3), jnp.float32)
+    pdf_acc = jnp.zeros((n,), jnp.float32)
+    for k in range(b.nslots):
+        stype_k, c0, c1, p0, p1, p2, dist = _slot_col(b, k)
+        kindk = b.kind[:, k]
+        sel = ((kindk & skind) != 0) & jnp.where(
+            is_refl, (kindk & REFLECTION) != 0, (kindk & TRANSMISSION) != 0)
+        fk = slot_eval(stype_k, c0, c1, p0, p1, p2, dist, wo, wi)
+        pk = slot_pdf(stype_k, p0, p1, p2, dist, wo, wi)
+        f_acc = f_acc + jnp.where(sel[..., None], fk, 0.0)
+        pdf_acc = pdf_acc + jnp.where(sel, jnp.maximum(pk, 0.0), 0.0)
+    f_out = jnp.where(multi[..., None], f_acc, f)
+    pdf_out = jnp.where(
+        multi, pdf_acc / jnp.maximum(nmatch.astype(jnp.float32), 1.0), pdf)
+
+    # no matching slots or zero pdf from the chosen slot -> dead sample
+    dead = (nmatch == 0) | (pdf == 0.0)
+    f_out = jnp.where(dead[..., None], 0.0, f_out)
+    pdf_out = jnp.where(dead, 0.0, pdf_out)
+    skind = jnp.where(dead, 0, skind)
+    return f_out, wiw, pdf_out, skind

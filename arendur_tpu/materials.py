@@ -1,0 +1,191 @@
+"""Material table -> BSDF slot construction (ref: src/material/).
+
+The reference's ``Material::compute_scattering`` evaluates textures at
+the hit and arena-allocates bxdfs.  Here materials are rows of a SoA
+parameter table; ``compute_scattering`` gathers the hit's row,
+evaluates its textures, and writes the bxdf slot table following each
+material's recipe:
+
+* Matte       -> LambertianR (sigma==0) or Oren-Nayar   (matte.rs:38-65)
+* Plastic     -> AshikhminShirley(Beckmann)             (plastic.rs:39-64)
+* Glass       -> FresnelBxdf + TS-R/TS-T (Trowbridge)   (glass.rs:41-81)
+* Translucent -> AshikhminShirley(TR)*d + LambertianT*(1-d)
+                                                        (translucent.rs:41-75)
+
+Slots are packed contiguously so the mixture sampler's "idx-th
+matching slot" logic is well-defined.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from arendur_tpu.bxdf import microfacet as mf
+from arendur_tpu.bxdf.slots import BsdfSlots, make_bsdf_frame, MAX_SLOTS
+from arendur_tpu.bxdf.types import (
+    T_NONE, T_LAMBERT_R, T_LAMBERT_T, T_OREN_NAYAR, T_FRESNEL_SPEC,
+    T_TS_R, T_TS_T, T_ASHIKHMIN, D_BECKMANN, D_TROWBRIDGE, KIND_OF_TYPE)
+
+M_MATTE = 0
+M_PLASTIC = 1
+M_GLASS = 2
+M_TRANSLUCENT = 3
+
+
+@struct.dataclass
+class MaterialTable:
+    """M materials as SoA rows.  Colors are constant-texture values;
+    *_tex fields hold image-texture ids (-1 = constant) for the
+    texture milestone."""
+    mtype: jnp.ndarray      # [M] int32
+    kd: jnp.ndarray         # [M,3] diffuse / kd
+    ks: jnp.ndarray         # [M,3] specular
+    sigma: jnp.ndarray      # [M] matte roughness (Oren-Nayar sigma)
+    roughness: jnp.ndarray  # [M]
+    eta: jnp.ndarray        # [M] ior (glass)
+    dissolve: jnp.ndarray   # [M]
+    kd_tex: jnp.ndarray     # [M] int32
+    ks_tex: jnp.ndarray     # [M] int32
+    sigma_tex: jnp.ndarray  # [M] int32
+    bump_tex: jnp.ndarray   # [M] int32
+
+
+def make_material_table(rows) -> MaterialTable:
+    """rows: list of dicts with keys mtype, kd, ks, sigma, roughness,
+    eta, dissolve (+ optional *_tex ids)."""
+    def col(key, default, dt=np.float32):
+        return jnp.asarray(np.asarray(
+            [r.get(key, default) for r in rows], dt))
+    return MaterialTable(
+        mtype=col("mtype", M_MATTE, np.int32),
+        kd=col("kd", (0.0, 0.0, 0.0)),
+        ks=col("ks", (0.0, 0.0, 0.0)),
+        sigma=col("sigma", 0.0),
+        roughness=col("roughness", 0.0),
+        eta=col("eta", 1.5),
+        dissolve=col("dissolve", 1.0),
+        kd_tex=col("kd_tex", -1, np.int32),
+        ks_tex=col("ks_tex", -1, np.int32),
+        sigma_tex=col("sigma_tex", -1, np.int32),
+        bump_tex=col("bump_tex", -1, np.int32),
+    )
+
+
+def compute_scattering(table: MaterialTable, mat_id, ns, ng, dpdu,
+                       uv=None, textures=None) -> BsdfSlots:
+    """Build the BSDF slot table for N hits.
+
+    mat_id [N] int32; ns/ng/dpdu [N,3] world-space shading data.
+    With `textures` (texturing milestone), kd/ks/sigma are overridden
+    by image-texture lookups at `uv` where *_tex >= 0.
+    """
+    n = mat_id.shape[0]
+    mtype = table.mtype[mat_id]
+    kd = table.kd[mat_id]
+    ks = table.ks[mat_id]
+    sigma = table.sigma[mat_id]
+    roughness = table.roughness[mat_id]
+    eta = table.eta[mat_id]
+    dissolve = table.dissolve[mat_id]
+
+    if textures is not None and uv is not None:
+        from arendur_tpu.texturing import texture as tx
+        kd = tx.eval_rgb(textures, table.kd_tex[mat_id], uv, kd)
+        ks = tx.eval_rgb(textures, table.ks_tex[mat_id], uv, ks)
+
+    alpha = mf.roughness_to_alpha(roughness)
+    sigma_c = jnp.clip(sigma, 0.0, 90.0)
+
+    kd_black = jnp.all(kd == 0.0, axis=-1)
+    ks_black = jnp.all(ks == 0.0, axis=-1)
+
+    ktype = [jnp.zeros((n,), jnp.int32) for _ in range(MAX_SLOTS)]
+    kc0 = [jnp.zeros((n, 3), jnp.float32) for _ in range(MAX_SLOTS)]
+    kc1 = [jnp.zeros((n, 3), jnp.float32) for _ in range(MAX_SLOTS)]
+    kp0 = [jnp.zeros((n,), jnp.float32) for _ in range(MAX_SLOTS)]
+    kp1 = [jnp.zeros((n,), jnp.float32) for _ in range(MAX_SLOTS)]
+    kp2 = [jnp.zeros((n,), jnp.float32) for _ in range(MAX_SLOTS)]
+    kdist = [jnp.zeros((n,), jnp.int32) for _ in range(MAX_SLOTS)]
+
+    def put(slot, mask, stype, c0=None, c1=None, p0=None, p1=None,
+            p2=None, dist=None):
+        ktype[slot] = jnp.where(mask, stype, ktype[slot])
+        if c0 is not None:
+            kc0[slot] = jnp.where(mask[..., None], c0, kc0[slot])
+        if c1 is not None:
+            kc1[slot] = jnp.where(mask[..., None], c1, kc1[slot])
+        if p0 is not None:
+            kp0[slot] = jnp.where(mask, p0, kp0[slot])
+        if p1 is not None:
+            kp1[slot] = jnp.where(mask, p1, kp1[slot])
+        if p2 is not None:
+            kp2[slot] = jnp.where(mask, p2, kp2[slot])
+        if dist is not None:
+            kdist[slot] = jnp.where(mask, dist, kdist[slot])
+
+    one = jnp.ones((n,), jnp.float32)
+
+    # --- Matte (matte.rs:38-65) -----------------------------------------
+    matte = mtype == M_MATTE
+    s2 = sigma_c * sigma_c
+    on_a = 1.0 - s2 / (2.0 * (s2 + 0.33))
+    on_b = 0.45 * s2 / (s2 + 0.09)
+    m_lam = matte & ~kd_black & (sigma_c == 0.0)
+    m_on = matte & ~kd_black & (sigma_c != 0.0)
+    put(0, m_lam, T_LAMBERT_R, c0=kd)
+    put(0, m_on, T_OREN_NAYAR, c0=kd, p0=on_a, p1=on_b)
+
+    # --- Plastic (plastic.rs:39-64): AS with Beckmann -------------------
+    plastic = mtype == M_PLASTIC
+    put(0, plastic, T_ASHIKHMIN,
+        c0=jnp.clip(kd, 0.0, 1.0), c1=jnp.clip(ks, 0.0, 1.0),
+        p0=alpha, dist=jnp.full((n,), D_BECKMANN, jnp.int32))
+
+    # --- Glass (glass.rs:41-81) -----------------------------------------
+    glass = mtype == M_GLASS
+    g_spec = glass & ~ks_black
+    g_diff = glass & ~kd_black
+    # slot layout keeps active slots contiguous:
+    #   spec & diff  -> [Fresnel, TS-R, TS-T]
+    #   spec only    -> [Fresnel]
+    #   diff only    -> [TS-R, TS-T]
+    tr = jnp.full((n,), D_TROWBRIDGE, jnp.int32)
+    put(0, g_spec, T_FRESNEL_SPEC, c0=ks, c1=ks, p0=one, p1=eta)
+    put(0, g_diff & ~g_spec, T_TS_R, c0=kd, p0=alpha, p1=one, p2=eta,
+        dist=tr)
+    put(1, g_diff & g_spec, T_TS_R, c0=kd, p0=alpha, p1=one, p2=eta,
+        dist=tr)
+    put(1, g_diff & ~g_spec, T_TS_T, c0=kd, p0=alpha, p1=one, p2=eta,
+        dist=tr)
+    put(2, g_diff & g_spec, T_TS_T, c0=kd, p0=alpha, p1=one, p2=eta,
+        dist=tr)
+
+    # --- Translucent (translucent.rs:41-75) -----------------------------
+    transl = mtype == M_TRANSLUCENT
+    t_as = transl & (dissolve != 0.0)
+    t_lt = transl & ~kd_black
+    put(0, t_as, T_ASHIKHMIN,
+        c0=jnp.clip(kd * dissolve[..., None], 0.0, 1.0),
+        c1=jnp.clip(ks * dissolve[..., None], 0.0, 1.0),
+        p0=alpha, dist=jnp.full((n,), D_TROWBRIDGE, jnp.int32))
+    put(0, t_lt & ~t_as, T_LAMBERT_T,
+        c0=kd * (1.0 - dissolve[..., None]))
+    put(1, t_lt & t_as, T_LAMBERT_T,
+        c0=kd * (1.0 - dissolve[..., None]))
+
+    stype = jnp.stack(ktype, axis=1)
+    kind_lut = jnp.asarray(
+        [KIND_OF_TYPE[t] for t in range(len(KIND_OF_TYPE))], jnp.int32)
+    kind = kind_lut[stype]
+
+    ts, bs = make_bsdf_frame(ns, ng, dpdu)
+    bsdf_eta = jnp.where(glass, eta, 1.0)
+    return BsdfSlots(
+        ns=ns, ts=ts, bs=bs, ng=ng, eta=bsdf_eta,
+        type=stype, kind=kind,
+        c0=jnp.stack(kc0, 1), c1=jnp.stack(kc1, 1),
+        p0=jnp.stack(kp0, 1), p1=jnp.stack(kp1, 1),
+        p2=jnp.stack(kp2, 1),
+        dist=jnp.stack(kdist, 1))
