@@ -1,0 +1,169 @@
+"""Wavefront path-tracing integrator (ref: src/renderer/pt.rs).
+
+The reference traces one ray at a time through a recursive bounce
+loop over rayon tiles.  Here a *wave* of N rays advances together
+through a statically-unrolled bounce loop (max_depth is small and
+static, so full unrolling lets XLA pipeline all three intersection
+passes per bounce); terminated lanes are masked, exactly like the
+SoA wavefront design in SURVEY.md §7.
+
+Per bounce (mirroring calculate_lighting, pt.rs:55-125):
+  1. closest-hit intersect
+  2. emitted radiance if bounce==0 or previous bounce was specular
+  3. NEE via uniform_sample_one_light (3 extra ray queries)
+  4. BSDF sample -> beta update, specular flag, new offset ray
+  5. Russian roulette past min_depth (rr_threshold=0.05)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from arendur_tpu import scene as sc
+from arendur_tpu import spectrum as spec
+from arendur_tpu import materials as mats
+from arendur_tpu.bxdf import slots as sl
+from arendur_tpu.bxdf.types import ALL, ALL_NON_SPECULAR, SPECULAR
+from arendur_tpu.geometry.vec import dot
+from arendur_tpu.lighting import nee
+from arendur_tpu.sampling import sampler as smp
+from arendur_tpu.filming import camera as cam
+from arendur_tpu.filming import film as flm
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    max_depth: int = 8
+    rr_threshold: float = 0.05
+    spp: int = 16
+    sample_dx: int = 4          # stratification grid (dx*dy == spp)
+    sample_dy: int = 4
+    seed: int = 0
+    wave_size: int = 1 << 16    # rays per wavefront launch
+    textures: Optional[object] = None
+
+    @property
+    def min_depth(self):
+        return self.max_depth // 2
+
+
+def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
+               config: RenderConfig, pixel_xy, pixel_id, sample_id,
+               base_key):
+    """Trace one wave of rays; returns (pfilm [N,2], L [N,3]).
+
+    pixel_xy: [N,2] integer pixel coords (float); pixel_id/sample_id:
+    [N] int32 for the stateless sampler.
+    """
+    keys = smp.ray_keys(base_key, pixel_id, sample_id)
+    jitter = smp.stratified_film_sample(
+        keys, sample_id, config.sample_dx, config.sample_dy, dim=0)
+    pfilm = pixel_xy + jitter
+    plens = smp.uniform_2d(keys, 2)
+    o, d = cam.generate_rays(camera, pfilm, plens)
+
+    n = o.shape[0]
+    L = jnp.zeros((n, 3), jnp.float32)
+    beta = jnp.ones((n, 3), jnp.float32)
+    alive = jnp.ones((n,), bool)
+    specular = jnp.zeros((n,), bool)
+
+    for bounce in range(config.max_depth):
+        dim0 = smp.bounce_dim(bounce, 0)
+        hit = sc.intersect(scene, o, d)
+        lane_active = alive & hit.hit
+
+        # (2) emitted radiance (ref: pt.rs:72-78; le() via the
+        # primitive's lighting profile, interaction.rs:254-261 —
+        # evaluate_path returns the emission texture irrespective of
+        # orientation for constant profiles)
+        if bounce == 0:
+            take_le = lane_active & (hit.light_id >= 0)
+        else:
+            take_le = lane_active & (hit.light_id >= 0) & specular
+        le = scene.lights.emission[jnp.maximum(hit.light_id, 0)]
+        L = L + jnp.where(take_le[..., None], beta * le, 0.0)
+
+        # (3) scattering + NEE
+        wo = -d
+        bsdf = mats.compute_scattering(
+            scene.materials, hit.mat_id, hit.ns, hit.ng, hit.dpdu,
+            uv=hit.uv, textures=config.textures)
+        # NEE runs when any slot matches non-specular tags
+        # (ref: pt.rs:85-91; note FresnelBxdf *does* match because its
+        # kind includes R|T bits)
+        do_nee = lane_active & (sl.match_count(bsdf, ALL_NON_SPECULAR) > 0)
+        u_sel = smp.uniform_1d(keys, dim0 + smp.DIM_LIGHT_SELECT)
+        u_light = smp.uniform_2d(keys, dim0 + smp.DIM_LIGHT_U)
+        u_scatter = smp.uniform_2d(keys, dim0 + smp.DIM_SCATTER_U)
+        direct = nee.uniform_sample_one_light(
+            scene, hit, bsdf, wo, u_sel, u_light, u_scatter)
+        L = L + jnp.where(do_nee[..., None], beta * direct, 0.0)
+
+        # (4) bsdf sample for path continuation (ref: pt.rs:92-103)
+        u_bsdf = smp.uniform_2d(keys, dim0 + smp.DIM_BSDF_U)
+        f, wi, pdf, kind = sl.bsdf_sample(bsdf, wo, u_bsdf, ALL)
+        cont = lane_active & ~spec.is_black(f) & (pdf > 0.0)
+        specular = jnp.where(lane_active, (kind & SPECULAR) != 0,
+                             specular)
+        new_beta = beta * f * (jnp.abs(dot(wi, bsdf.ns))
+                               / jnp.maximum(pdf, 1e-20))[..., None]
+        beta_ok = spec.valid(new_beta)
+        beta = jnp.where((cont & beta_ok)[..., None], new_beta, beta)
+        alive = lane_active & cont & beta_ok
+
+        o = sc.offset_ray_origin(hit.pos, hit.pos_err, hit.ng, wi)
+        d = wi
+
+        # (5) russian roulette (ref: pt.rs:117-122)
+        if bounce + 1 >= config.max_depth:
+            alive = jnp.zeros_like(alive)
+        elif bounce + 1 >= config.min_depth:
+            lum = spec.luminance(beta)
+            q = max(config.rr_threshold, 0.05)
+            u_rr = smp.uniform_1d(keys, dim0 + smp.DIM_RR)
+            roulette = lum < config.rr_threshold
+            killed = roulette & (u_rr < q)
+            beta = jnp.where((roulette & ~killed)[..., None],
+                             beta / (1.0 - q), beta)
+            alive = alive & ~killed
+
+    # invalid radiance becomes black, as the renderer does before
+    # add_sample (pt.rs:152-156)
+    return pfilm, spec.sanitize(L)
+
+
+def render(scene: sc.SceneData, camera: cam.CameraData,
+           film_cfg: flm.FilmConfig, config: RenderConfig):
+    """Full render: iterate waves over (pixels x spp), splat to film,
+    finalize.  Returns the [H, W, 3] image."""
+    w, h = film_cfg.resolution
+    spp = config.spp
+    base_key = smp.make_base_key(config.seed)
+    state = flm.film_init(film_cfg)
+
+    total = w * h * spp
+    wave = min(config.wave_size, total)
+
+    @jax.jit
+    def run_wave(state, ray_idx):
+        pixel_id = ray_idx // spp
+        sample_id = ray_idx % spp
+        px = (pixel_id % w).astype(jnp.float32)
+        py = (pixel_id // w).astype(jnp.float32)
+        pixel_xy = jnp.stack([px, py], -1)
+        valid = ray_idx < total
+        pfilm, L = trace_wave(scene, camera, config, pixel_xy,
+                              pixel_id.astype(jnp.int32),
+                              sample_id.astype(jnp.int32), base_key)
+        return flm.film_splat(film_cfg, state, pfilm, L, mask=valid)
+
+    n_waves = (total + wave - 1) // wave
+    for i in range(n_waves):
+        ray_idx = i * wave + jnp.arange(wave, dtype=jnp.int32)
+        state = run_wave(state, ray_idx)
+    return flm.film_finalize(state, film_cfg)

@@ -1,0 +1,413 @@
+"""Scene: unified SoA geometry pools + materials + lights
+(ref: src/renderer/scene.rs, src/component/).
+
+The reference's scene is a trait-object graph (BVH of Composables).
+The TPU scene is two flat device pools — triangles (world-space SoA)
+and analytic spheres (local frame + baked transforms) — plus material
+and light tables.  Primitive ids: [0, T) triangles, [T, T+S) spheres.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from arendur_tpu.geometry.vec import cross, dot, normalize
+from arendur_tpu.shapes import triangle as tri
+from arendur_tpu.shapes import sphere as sph
+from arendur_tpu.materials import MaterialTable, make_material_table
+from arendur_tpu.sampling.distribution import (
+    Distribution1D, build_distribution_1d)
+
+# light types
+L_AREA_SPHERE = 0
+L_AREA_TRI = 1
+L_POINT = 2
+L_SPOT = 3
+L_DISTANT = 4
+
+
+@struct.dataclass
+class LightTable:
+    ltype: jnp.ndarray     # [L] int32
+    prim: jnp.ndarray      # [L] int32: sphere idx / tri idx for area
+    emission: jnp.ndarray  # [L,3] radiance (area) / intensity (point)
+    pos: jnp.ndarray       # [L,3] position (point/spot) or direction (distant)
+    aux: jnp.ndarray       # [L,3] spot axis
+    params: jnp.ndarray    # [L,4] cos_total/cos_falloff (spot), wradius
+
+    @property
+    def count(self):
+        return self.ltype.shape[0]
+
+
+@struct.dataclass
+class SceneData:
+    tri_v0: jnp.ndarray
+    tri_v1: jnp.ndarray
+    tri_v2: jnp.ndarray
+    tri_n0: jnp.ndarray
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_uv0: jnp.ndarray
+    tri_uv1: jnp.ndarray
+    tri_uv2: jnp.ndarray
+    tri_mat: jnp.ndarray
+    tri_light: jnp.ndarray
+    spheres: sph.SphereSoA
+    materials: MaterialTable
+    lights: LightTable
+    light_distribution: Distribution1D
+
+    @property
+    def n_tris(self):
+        return self.tri_v0.shape[0]
+
+
+@struct.dataclass
+class Hit:
+    """Wavefront surface-interaction record (SoA SurfaceInteraction,
+    ref: geometry/interaction.rs)."""
+    hit: jnp.ndarray       # [N] bool
+    t: jnp.ndarray         # [N]
+    prim: jnp.ndarray      # [N] int32, -1 = miss
+    pos: jnp.ndarray       # [N,3]
+    pos_err: jnp.ndarray   # [N,3]
+    ng: jnp.ndarray        # [N,3] geometric normal
+    ns: jnp.ndarray        # [N,3] shading normal
+    dpdu: jnp.ndarray      # [N,3]
+    uv: jnp.ndarray        # [N,2]
+    mat_id: jnp.ndarray    # [N] int32
+    light_id: jnp.ndarray  # [N] int32 (-1 if not emissive)
+
+
+class SceneBuilder:
+    """Host-side accumulation of geometry + materials + lights,
+    frozen into a SceneData pytree (the arencli parse_input analogue)."""
+
+    def __init__(self):
+        self.tv0: List[np.ndarray] = []
+        self.tv1: List[np.ndarray] = []
+        self.tv2: List[np.ndarray] = []
+        self.tn0: List[np.ndarray] = []
+        self.tn1: List[np.ndarray] = []
+        self.tn2: List[np.ndarray] = []
+        self.tuv0: List[np.ndarray] = []
+        self.tuv1: List[np.ndarray] = []
+        self.tuv2: List[np.ndarray] = []
+        self.tmat: List[np.ndarray] = []
+        self.tlight: List[np.ndarray] = []
+        self.sphere_rows = []
+        self.material_rows = []
+        self.light_rows = []
+
+    def add_material(self, **kw) -> int:
+        self.material_rows.append(kw)
+        return len(self.material_rows) - 1
+
+    def add_mesh(self, vertices, faces, mat_id: int, normals=None,
+                 uvs=None, transform=None, emission=None):
+        """Add a triangle mesh.  vertices [V,3], faces [F,3] int.
+        transform: optional 4x4 (row-layout, projective divide applied
+        like the reference's from_model_transformed)."""
+        v = np.asarray(vertices, np.float32)
+        f = np.asarray(faces, np.int64)
+        if transform is not None:
+            m = np.asarray(transform, np.float32)
+            h = v @ m[:3, :3] + m[3, :3]
+            w = v @ m[:3, 3] + m[3, 3]
+            v = h / w[:, None]
+            if normals is not None:
+                inv = np.linalg.inv(m[:3, :3])
+                normals = np.asarray(normals, np.float32) @ inv.T
+        p0, p1, p2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+        nf = len(f)
+        if normals is not None:
+            nn = np.asarray(normals, np.float32)
+            n0, n1, n2 = nn[f[:, 0]], nn[f[:, 1]], nn[f[:, 2]]
+        else:
+            face_n = np.cross(p1 - p0, p2 - p0)
+            norm = np.linalg.norm(face_n, axis=-1, keepdims=True)
+            face_n = face_n / np.maximum(norm, 1e-20)
+            n0 = n1 = n2 = face_n
+        if uvs is not None:
+            uu = np.asarray(uvs, np.float32)
+            uv0, uv1, uv2 = uu[f[:, 0]], uu[f[:, 1]], uu[f[:, 2]]
+        else:
+            # per-triangle default uvs (ref: triangle.rs:292-296)
+            uv0 = np.tile(np.array([0.0, 0.0], np.float32), (nf, 1))
+            uv1 = np.tile(np.array([1.0, 0.0], np.float32), (nf, 1))
+            uv2 = np.tile(np.array([1.0, 1.0], np.float32), (nf, 1))
+        light_ids = np.full(nf, -1, np.int32)
+        if emission is not None:
+            base_tri = sum(len(a) for a in self.tv0)
+            for i in range(nf):
+                light_ids[i] = len(self.light_rows)
+                self.light_rows.append(dict(
+                    ltype=L_AREA_TRI, prim=base_tri + i,
+                    emission=tuple(emission)))
+        self.tv0.append(p0)
+        self.tv1.append(p1)
+        self.tv2.append(p2)
+        self.tn0.append(n0)
+        self.tn1.append(n1)
+        self.tn2.append(n2)
+        self.tuv0.append(uv0)
+        self.tuv1.append(uv1)
+        self.tuv2.append(uv2)
+        self.tmat.append(np.full(nf, mat_id, np.int32))
+        self.tlight.append(light_ids)
+
+    def add_sphere(self, radius, zmin, zmax, phimax, mat_id: int,
+                   transform=None, emission=None):
+        o2w = (np.eye(4, dtype=np.float32) if transform is None
+               else np.asarray(transform, np.float32))
+        light_id = -1
+        if emission is not None:
+            light_id = len(self.light_rows)
+            self.light_rows.append(dict(
+                ltype=L_AREA_SPHERE, prim=len(self.sphere_rows),
+                emission=tuple(emission)))
+        self.sphere_rows.append(dict(
+            o2w=o2w, radius=radius, zmin=zmin, zmax=zmax, phimax=phimax,
+            mat_id=mat_id, light_id=light_id))
+
+    def add_point_light(self, pos, intensity):
+        self.light_rows.append(dict(
+            ltype=L_POINT, prim=-1, emission=tuple(intensity),
+            pos=tuple(pos)))
+
+    def add_spot_light(self, pos, direction, intensity, cos_total,
+                       cos_falloff):
+        self.light_rows.append(dict(
+            ltype=L_SPOT, prim=-1, emission=tuple(intensity),
+            pos=tuple(pos), aux=tuple(direction),
+            params=(cos_total, cos_falloff, 0.0, 0.0)))
+
+    def add_distant_light(self, direction, radiance, world_radius=100.0):
+        self.light_rows.append(dict(
+            ltype=L_DISTANT, prim=-1, emission=tuple(radiance),
+            pos=tuple(direction), params=(world_radius, 0.0, 0.0, 0.0)))
+
+    # -- freeze -----------------------------------------------------------
+
+    def _light_power(self, row, tri_areas, sphere_areas) -> float:
+        """Power for the light-selection distribution
+        (ref: scene.rs:36-44; area power = mean*area*pi,
+        component/shape.rs:160-167)."""
+        from arendur_tpu import spectrum as spec
+        e = np.asarray(row["emission"], np.float32)
+        lum = float(np.asarray(
+            spec.luminance(jnp.asarray(e[None]))[0]))
+        lt = row["ltype"]
+        if lt == L_AREA_SPHERE:
+            return lum * sphere_areas[row["prim"]] * np.pi
+        if lt == L_AREA_TRI:
+            return lum * tri_areas[row["prim"]] * np.pi
+        if lt == L_POINT:
+            return lum * 4.0 * np.pi
+        if lt == L_SPOT:
+            ct, cf = row["params"][0], row["params"][1]
+            return lum * 2.0 * np.pi * (1 - 0.5 * (ct + cf))
+        if lt == L_DISTANT:
+            wr = row["params"][0]
+            return lum * np.pi * wr * wr
+        return lum
+
+    def build(self) -> SceneData:
+        cat = lambda lst, d: (np.concatenate(lst, 0) if lst
+                              else np.zeros((0,) + d, np.float32))
+        v0 = cat(self.tv0, (3,))
+        v1 = cat(self.tv1, (3,))
+        v2 = cat(self.tv2, (3,))
+        tri_areas = 0.5 * np.linalg.norm(
+            np.cross(v1 - v0, v2 - v0), axis=-1) if len(v0) else np.zeros(0)
+
+        # spheres
+        ns = len(self.sphere_rows)
+        if ns == 0:
+            # one degenerate far-away sphere keeps shapes static
+            self.sphere_rows.append(dict(
+                o2w=np.diag([1, 1, 1, 1]).astype(np.float32) +
+                np.array([[0, 0, 0, 0]] * 3 + [[1e8, 1e8, 1e8, 0]],
+                         np.float32),
+                radius=1e-6, zmin=-1e-6, zmax=1e-6, phimax=2 * np.pi,
+                mat_id=0, light_id=-1))
+        so2w, sw2o, srad, szmin, szmax, stmin, stmax, sphim = \
+            [], [], [], [], [], [], [], []
+        smat, slight, sphere_areas = [], [], []
+        for row in self.sphere_rows:
+            r, zn, zx, tmin, tmax_, pm = sph.make_sphere_params(
+                row["radius"], row["zmin"], row["zmax"], row["phimax"])
+            so2w.append(row["o2w"])
+            sw2o.append(np.linalg.inv(row["o2w"]))
+            srad.append(r)
+            szmin.append(zn)
+            szmax.append(zx)
+            stmin.append(tmin)
+            stmax.append(tmax_)
+            sphim.append(pm)
+            smat.append(row["mat_id"])
+            slight.append(row["light_id"])
+            sphere_areas.append(pm * r * (zx - zn))
+        spheres = sph.SphereSoA(
+            o2w=jnp.asarray(np.stack(so2w)),
+            w2o=jnp.asarray(np.stack(sw2o)),
+            radius=jnp.asarray(np.asarray(srad, np.float32)),
+            zmin=jnp.asarray(np.asarray(szmin, np.float32)),
+            zmax=jnp.asarray(np.asarray(szmax, np.float32)),
+            thetamin=jnp.asarray(np.asarray(stmin, np.float32)),
+            thetamax=jnp.asarray(np.asarray(stmax, np.float32)),
+            phimax=jnp.asarray(np.asarray(sphim, np.float32)),
+            mat_id=jnp.asarray(np.asarray(smat, np.int32)),
+            light_id=jnp.asarray(np.asarray(slight, np.int32)))
+
+        # lights
+        nl = max(1, len(self.light_rows))
+        lt = np.zeros(nl, np.int32)
+        lprim = np.full(nl, -1, np.int32)
+        lem = np.zeros((nl, 3), np.float32)
+        lpos = np.zeros((nl, 3), np.float32)
+        laux = np.zeros((nl, 3), np.float32)
+        lpar = np.zeros((nl, 4), np.float32)
+        powers = np.zeros(nl, np.float32)
+        for i, row in enumerate(self.light_rows):
+            lt[i] = row["ltype"]
+            lprim[i] = row.get("prim", -1)
+            lem[i] = row["emission"]
+            lpos[i] = row.get("pos", (0, 0, 0))
+            laux[i] = row.get("aux", (0, 0, 1))
+            lpar[i] = row.get("params", (0, 0, 0, 0))
+            powers[i] = self._light_power(row, tri_areas, sphere_areas)
+        lights = LightTable(
+            ltype=jnp.asarray(lt), prim=jnp.asarray(lprim),
+            emission=jnp.asarray(lem), pos=jnp.asarray(lpos),
+            aux=jnp.asarray(laux), params=jnp.asarray(lpar))
+
+        if not self.material_rows:
+            self.material_rows.append(dict(mtype=0, kd=(0.5, 0.5, 0.5)))
+
+        catf = lambda lst, d, dt=np.float32: (
+            np.concatenate(lst, 0).astype(dt) if lst
+            else np.zeros((0,) + d, dt))
+        return SceneData(
+            tri_v0=jnp.asarray(v0), tri_v1=jnp.asarray(v1),
+            tri_v2=jnp.asarray(v2),
+            tri_n0=jnp.asarray(catf(self.tn0, (3,))),
+            tri_n1=jnp.asarray(catf(self.tn1, (3,))),
+            tri_n2=jnp.asarray(catf(self.tn2, (3,))),
+            tri_uv0=jnp.asarray(catf(self.tuv0, (2,))),
+            tri_uv1=jnp.asarray(catf(self.tuv1, (2,))),
+            tri_uv2=jnp.asarray(catf(self.tuv2, (2,))),
+            tri_mat=jnp.asarray(catf(self.tmat, (), np.int32)),
+            tri_light=jnp.asarray(catf(self.tlight, (), np.int32)),
+            spheres=spheres,
+            materials=make_material_table(self.material_rows),
+            lights=lights,
+            light_distribution=build_distribution_1d(
+                powers if len(powers) else [1.0]))
+
+
+# ---------------------------------------------------------------------------
+# full-scene intersection
+# ---------------------------------------------------------------------------
+
+_GAMMA7 = 7.0 * 2.0 ** -24 / (1.0 - 7.0 * 2.0 ** -24)
+
+
+def intersect(scene: SceneData, o, d, tmax=None) -> Hit:
+    """Closest-hit of N rays against the whole scene, with full
+    shading info (the wavefront Composable::intersect_ray +
+    SurfaceInteraction construction)."""
+    n = o.shape[0]
+    if tmax is None:
+        tmax = jnp.full((n,), jnp.inf, jnp.float32)
+
+    t_tri, tri_idx, b0, b1 = tri.intersect_scene_tris(
+        o, d, tmax, scene.tri_v0, scene.tri_v1, scene.tri_v2)
+    tri_hit = tri_idx >= 0
+    t_tri = jnp.where(tri_hit, t_tri, jnp.inf)
+
+    sp = sph.intersect_spheres(scene.spheres, o, d,
+                               jnp.minimum(tmax, t_tri))
+    use_sphere = sp["hit"]  # already closer than t_tri via tmax clamp
+    any_hit = tri_hit | use_sphere
+    t = jnp.where(use_sphere, sp["t"], t_tri)
+
+    # --- triangle shading info ---
+    ti = jnp.maximum(tri_idx, 0)
+    v0 = scene.tri_v0[ti]
+    v1 = scene.tri_v1[ti]
+    v2 = scene.tri_v2[ti]
+    b2 = 1.0 - b0 - b1
+    pos_tri = b0[:, None] * v0 + b1[:, None] * v1 + b2[:, None] * v2
+    perr_tri = _GAMMA7 * (
+        jnp.abs(b0[:, None] * v0) + jnp.abs(b1[:, None] * v1)
+        + jnp.abs(b2[:, None] * v2))
+    uv0 = scene.tri_uv0[ti]
+    uv1 = scene.tri_uv1[ti]
+    uv2 = scene.tri_uv2[ti]
+    uv_tri = b0[:, None] * uv0 + b1[:, None] * uv1 + b2[:, None] * uv2
+    dpdu_tri, dpdv_tri = tri.tri_dpduv(v0, v1, v2, uv0, uv1, uv2)
+    ng_tri = normalize(cross(dpdu_tri, dpdv_tri))
+    ns_raw = normalize(
+        b0[:, None] * scene.tri_n0[ti] + b1[:, None] * scene.tri_n1[ti]
+        + b2[:, None] * scene.tri_n2[ti])
+    # orient shading normal to agree with geometric
+    # (ref: interaction.rs:167-181 with orient_norm_by_shading=true)
+    flip = dot(ns_raw, ng_tri) < 0.0
+    ns_tri = jnp.where(flip[:, None], -ns_raw, ns_raw)
+    mat_tri = scene.tri_mat[ti]
+    light_tri = scene.tri_light[ti]
+
+    # --- sphere shading info ---
+    s_idx = jnp.maximum(sp["sphere_idx"], 0)
+    pos_s, ng_s, uv_s, dpdu_s, perr_s = sph.sphere_hit_info(
+        scene.spheres, s_idx, sp["p_local"])
+    mat_s = scene.spheres.mat_id[s_idx]
+    light_s = scene.spheres.light_id[s_idx]
+
+    pick3 = lambda a, b: jnp.where(use_sphere[:, None], a, b)
+    pick1 = lambda a, b: jnp.where(use_sphere, a, b)
+    prim = jnp.where(
+        any_hit,
+        pick1(scene.n_tris + jnp.maximum(sp["sphere_idx"], 0), tri_idx),
+        -1).astype(jnp.int32)
+    return Hit(
+        hit=any_hit,
+        t=jnp.where(any_hit, t, jnp.inf),
+        prim=prim,
+        pos=pick3(pos_s, pos_tri),
+        pos_err=pick3(perr_s, perr_tri),
+        ng=pick3(ng_s, ng_tri),
+        ns=pick3(ng_s, ns_tri),
+        dpdu=pick3(dpdu_s, dpdu_tri),
+        uv=pick3(uv_s, uv_tri),
+        mat_id=jnp.where(any_hit, pick1(mat_s, mat_tri), 0).astype(
+            jnp.int32),
+        light_id=jnp.where(any_hit, pick1(light_s, light_tri),
+                           -1).astype(jnp.int32))
+
+
+def occluded(scene: SceneData, o, d, tmax) -> jnp.ndarray:
+    """Any-hit query for shadow rays."""
+    blocked_t = tri.occluded_tris(
+        o, d, tmax, scene.tri_v0, scene.tri_v1, scene.tri_v2)
+    sp = sph.intersect_spheres(scene.spheres, o, d, tmax)
+    return blocked_t | sp["hit"]
+
+
+def offset_ray_origin(pos, pos_err, n, dir):
+    """Robust spawn-point offsetting (ref: interaction.rs:45-72):
+    shift along +/-n by the error bound, then nudge one ulp."""
+    edn = dot(jnp.abs(n), pos_err, keepdims=True)
+    offset = edn * n
+    offset = jnp.where(dot(dir, n, keepdims=True) <= 0.0, -offset, offset)
+    p = pos + offset
+    up = jnp.nextafter(p, jnp.inf)
+    down = jnp.nextafter(p, -jnp.inf)
+    return jnp.where(offset > 0.0, up, jnp.where(offset < 0.0, down, p))

@@ -23,6 +23,13 @@ from arendur_tpu.geometry import transform as tf
 
 PI = float(jnp.pi)
 
+# The reference samples spheres uniformly in (theta, phi) while
+# reporting pdf = 1/area (sphere.rs:304-317) — biased area sampling
+# (e.g. a lambertian plane under a small emissive sphere receives 5/3
+# the correct radiance).  True reproduces that; False uses correct
+# area-uniform sampling.
+THETA_UNIFORM_COMPAT = True
+
 
 @struct.dataclass
 class SphereSoA:
@@ -77,10 +84,12 @@ def _intersect_local(o, d, tmax, radius, zmin, zmax, phimax):
     ok = has_root & ~((t0 > tmax) | (t1 < 0.0)) & ~((t0 <= 0.0) & (t1 > tmax))
 
     p = o + t[..., None] * d
-    # refine to the surface (sphere.rs:233-238)
-    p = p * (radius / jnp.maximum(length(p, keepdims=True), 1e-20))
+    # refine to the surface (sphere.rs:233-238); radius may be a
+    # scalar (vmapped per-sphere path) or per-lane [N]
+    r_col = jnp.broadcast_to(jnp.asarray(radius), t.shape)[..., None]
+    p = p * (r_col / jnp.maximum(length(p, keepdims=True), 1e-20))
     degenerate = (p[..., 0] == 0.0) & (p[..., 1] == 0.0)
-    px = jnp.where(degenerate, 1e-5 * radius, p[..., 0])
+    px = jnp.where(degenerate, 1e-5 * r_col[..., 0], p[..., 0])
     p = jnp.stack([px, p[..., 1], p[..., 2]], axis=-1)
 
     phi = jnp.arctan2(p[..., 1], p[..., 0])
@@ -158,13 +167,15 @@ def sphere_hit_info(spheres: SphereSoA, s_idx, p_local):
 
 
 def sample_sphere_local(spheres: SphereSoA, s_idx, u2,
-                        theta_uniform: bool = True):
+                        theta_uniform: bool = None):
     """Area sampling in the sphere's local frame (ref: sphere.rs:304-317).
 
     Returns (p_local, n_local, pdf_area) with pdf = 1/surface_area
     (matching the reference even though theta-uniform sampling is not
     area-uniform).
     """
+    if theta_uniform is None:
+        theta_uniform = THETA_UNIFORM_COMPAT
     radius = spheres.radius[s_idx]
     phimax = spheres.phimax[s_idx]
     thetamin = spheres.thetamin[s_idx]

@@ -201,6 +201,26 @@ def occluded_tris(o, d, tmax, v0, v1, v2, chunk: int = 512):
     return blocked
 
 
+def intersect_one(o, d, tmax, v0, v1, v2):
+    """Per-lane single-triangle test (ray i vs triangle i), used for
+    area-light pdf queries (ref: shape/mod.rs:67-75 pdf_wrt).
+    o,d,v*: [N,3].  Returns (hit [N], t [N])."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pvec = cross(d, e2)
+    det = dot(e1, pvec)
+    ok = jnp.abs(det) > 1e-12
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+    tvec = o - v0
+    u = dot(tvec, pvec) * inv
+    qvec = cross(tvec, e1)
+    v = dot(d, qvec) * inv
+    t = dot(e2, qvec) * inv
+    hit = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
+        & (t > 1e-6) & (t <= tmax)
+    return hit, jnp.where(hit, t, jnp.inf)
+
+
 def tri_dpduv(v0, v1, v2, uv0, uv1, uv2):
     """dpdu/dpdv from uv deltas (ref: triangle.rs:309-331).
 

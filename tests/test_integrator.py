@@ -1,0 +1,134 @@
+"""End-to-end integrator tests: analytic direct lighting + Cornell
+box smoke render."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from arendur_tpu import scene as sc
+from arendur_tpu import materials as mats
+from arendur_tpu.filming import camera as cam
+from arendur_tpu.filming import film as flm
+from arendur_tpu.sampling import filters as filt
+from arendur_tpu.render import integrator as integ
+from arendur_tpu.io import scenedesc
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def plane_scene(kd=(0.6, 0.6, 0.6), light_height=2.0, intensity=10.0):
+    """Lambertian floor plane at z=0 + point light above the origin."""
+    b = sc.SceneBuilder()
+    m = b.add_material(mtype=mats.M_MATTE, kd=kd, sigma=0.0)
+    v = np.array([[-10, -10, 0], [10, -10, 0], [10, 10, 0],
+                  [-10, 10, 0]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    b.add_mesh(v, f, m)
+    b.add_point_light((0, 0, light_height),
+                      (intensity, intensity, intensity))
+    return b.build()
+
+
+def look_down_camera(res=32, height=1.0):
+    from arendur_tpu.geometry import transform as tf
+    pv = np.asarray(tf.look_at([0, 0, 1.0], [0, 0, 0.0], [0, 1, 0.0]))
+    return cam.make_perspective(
+        parent_view=pv, screen_min=(-1, -1), screen_max=(1, 1),
+        znear=0.1, zfar=100.0, fov=1.0, lens=None,
+        resolution=(res, res))
+
+
+class TestDirectLighting:
+    def test_point_light_analytic(self):
+        """Center pixel radiance == (kd/pi) * I * cos(theta) / d^2."""
+        scene = plane_scene()
+        camera = look_down_camera(res=16)
+        film_cfg = flm.FilmConfig(
+            resolution=(16, 16), filter=filt.FilterSpec("box", (0.5, 0.5)))
+        config = integ.RenderConfig(max_depth=1, spp=16, sample_dx=4,
+                                    sample_dy=4, wave_size=16 * 16 * 16)
+        img = np.asarray(integ.render(scene, camera, film_cfg, config))
+        # center of image looks at the origin; light directly overhead
+        # at height 2: L = kd/pi * I/4 * cos(0)
+        expected = 0.6 / np.pi * 10.0 / 4.0
+        got = img[7:9, 7:9].mean(axis=(0, 1))
+        np.testing.assert_allclose(got, expected, rtol=0.08)
+
+    def test_zero_bounce_black_without_lights_visible(self):
+        scene = plane_scene(intensity=0.0)
+        camera = look_down_camera(res=8)
+        film_cfg = flm.FilmConfig(
+            resolution=(8, 8), filter=filt.FilterSpec("box", (0.5, 0.5)))
+        config = integ.RenderConfig(max_depth=2, spp=4, sample_dx=2,
+                                    sample_dy=2, wave_size=8 * 8 * 4)
+        img = np.asarray(integ.render(scene, camera, film_cfg, config))
+        assert np.abs(img).max() < 1e-6
+
+
+class TestSphereAreaLight:
+    @staticmethod
+    def _sphere_plane_scene():
+        b = sc.SceneBuilder()
+        m = b.add_material(mtype=mats.M_MATTE, kd=(1.0, 1.0, 1.0),
+                           sigma=0.0)
+        v = np.array([[-20, -20, 0], [20, -20, 0], [20, 20, 0],
+                      [-20, 20, 0]], np.float32)
+        f = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+        b.add_mesh(v, f, m)
+        o2w = np.eye(4, dtype=np.float32)
+        o2w[3, :3] = [0, 0, 5.0]
+        b.add_sphere(1.0, -1.0, 1.0, 2 * np.pi, m, transform=o2w,
+                     emission=(4.0, 4.0, 4.0))
+        return b.build()
+
+    def _render_center(self, spp=64):
+        scene = self._sphere_plane_scene()
+        camera = look_down_camera(res=8)
+        film_cfg = flm.FilmConfig(
+            resolution=(8, 8), filter=filt.FilterSpec("box", (0.5, 0.5)))
+        config = integ.RenderConfig(max_depth=1, spp=spp, sample_dx=8,
+                                    sample_dy=8, wave_size=8 * 8 * spp)
+        img = np.asarray(integ.render(scene, camera, film_cfg, config))
+        return img[3:5, 3:5].mean()
+
+    def test_emissive_sphere_direct_correct_mode(self):
+        """Area-uniform sampling: matches the analytic solid-angle
+        integral L = Le * (r/d)^2 at normal incidence."""
+        from arendur_tpu.shapes import sphere as sph
+        old = sph.THETA_UNIFORM_COMPAT
+        sph.THETA_UNIFORM_COMPAT = False
+        try:
+            got = self._render_center(spp=256)
+        finally:
+            sph.THETA_UNIFORM_COMPAT = old
+        expected = 4.0 * (1.0 / 5.0) ** 2
+        np.testing.assert_allclose(got, expected, rtol=0.06)
+
+    def test_emissive_sphere_reference_compat_bias(self):
+        """Reference-faithful theta-uniform sampling overestimates by
+        ~5/3 for a small overhead sphere (documents the reference's
+        sampler/pdf inconsistency we reproduce for parity)."""
+        got = self._render_center(spp=256)
+        expected = 4.0 * (1.0 / 5.0) ** 2
+        assert got > expected * 1.3, got
+        assert got < expected * 2.2, got
+
+
+class TestCornellSmoke:
+    def test_cornell_loads_and_renders(self):
+        scene, camera, film_cfg, config, _ = scenedesc.parse_scene(
+            os.path.join(REPO, "examples/cornellbox/cb.json"),
+            spp_override=4, resolution_override=(64, 48))
+        assert scene.n_tris == 1112
+        assert scene.spheres.count == 2
+        assert scene.lights.count == 2
+        import dataclasses
+        config = dataclasses.replace(
+            config, max_depth=3, wave_size=64 * 48 * 4)
+        img = np.asarray(integ.render(scene, camera, film_cfg, config))
+        assert np.isfinite(img).all()
+        assert img.max() > 0.05, "scene renders black"
+        # light spheres (left wall area) should be bright
+        assert img.max() > 1.0 or img.mean() > 0.01
