@@ -13,16 +13,20 @@ def fresnel_dielectric(cos_theta_i, etai, etat):
     et = jnp.where(entering, etat, etai)
     ci = jnp.abs(cos_theta_i)
     sin2_i = jnp.maximum(1.0 - ci * ci, 0.0)
-    eta = ei / et
+    # zero-filled (inactive) slots feed eta=0/0 through here; clamp so
+    # unselected-branch primals stay finite for reverse-mode
+    eta = ei / jnp.where(jnp.abs(et) < 1e-20, 1e-20, et)
     sin2_t = eta * eta * sin2_i
     total = sin2_t >= 1.0
-    ct = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    ct = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-12))
     etci = et * ci
     eict = ei * ct
-    r_para = (etci - eict) / (etci + eict)
+    r_para = (etci - eict) / jnp.where(
+        jnp.abs(etci + eict) < 1e-20, 1e-20, etci + eict)
     eici = ei * ci
     etct = et * ct
-    r_perp = (eici - etct) / (eici + etct)
+    r_perp = (eici - etct) / jnp.where(
+        jnp.abs(eici + etct) < 1e-20, 1e-20, eici + etct)
     fr = 0.5 * (r_para * r_para + r_perp * r_perp)
     return jnp.where(total, 1.0, fr)
 

@@ -36,8 +36,12 @@ def _d_beckmann(wh, ax, ay):
     tan2 = frame.tan2_theta(wh)
     cos2p = frame.cos2_phi(wh)
     sin2p = frame.sin2_phi(wh)
-    val = jnp.exp(-tan2 * (cos2p / (ax * ax) + sin2p / (ay * ay))) / (
-        PI * ax * ay * cos2 * cos2)
+    # clamp the exponent: at grazing wh the raw exponent underflows
+    # exp() to 0 while its derivative factor is huge — 0 * inf = NaN in
+    # reverse-mode.  jnp.maximum zeroes the derivative when clamped.
+    expo = jnp.maximum(
+        -tan2 * (cos2p / (ax * ax) + sin2p / (ay * ay)), -60.0)
+    val = jnp.exp(expo) / jnp.maximum(PI * ax * ay * cos2 * cos2, 1e-30)
     return jnp.where(jnp.isfinite(val), val, 0.0)
 
 
@@ -46,8 +50,10 @@ def _d_trowbridge(wh, ax, ay):
     tan2 = frame.tan2_theta(wh)
     cos2p = frame.cos2_phi(wh)
     sin2p = frame.sin2_phi(wh)
-    last = 1.0 + tan2 * (cos2p / (ax * ax) + sin2p / (ay * ay))
-    val = 1.0 / (PI * ax * ay * cos2 * cos2 * last * last)
+    last = jnp.minimum(
+        1.0 + tan2 * (cos2p / (ax * ax) + sin2p / (ay * ay)), 1e15)
+    val = 1.0 / jnp.maximum(PI * ax * ay * cos2 * cos2 * last * last,
+                            1e-30)
     return jnp.where(jnp.isfinite(tan2) & jnp.isfinite(val), val, 0.0)
 
 
@@ -60,7 +66,7 @@ def _lambda_beckmann(w, ax, ay):
     tant = jnp.abs(frame.tan_theta(w))
     alpha = jnp.sqrt(frame.cos2_phi(w) * ax * ax
                      + frame.sin2_phi(w) * ay * ay)
-    a = 1.0 / (alpha * tant)
+    a = 1.0 / jnp.maximum(alpha * tant, 1e-20)
     poly = (1.0 - 1.259 * a + 0.396 * a * a) / (3.535 * a + 2.181 * a * a)
     val = jnp.where(a >= 1.6, 0.0, poly)
     return jnp.where(jnp.isfinite(tant), val, 0.0)
@@ -70,7 +76,7 @@ def _lambda_trowbridge(w, ax, ay):
     tabs = jnp.abs(frame.tan_theta(w))
     alpha = jnp.sqrt(frame.cos2_phi(w) * ax * ax
                      + frame.sin2_phi(w) * ay * ay)
-    term = alpha * tabs
+    term = jnp.minimum(alpha * tabs, 1e15)
     val = 0.5 * (-1.0 + jnp.sqrt(1.0 + term * term))
     return jnp.where(jnp.isfinite(tabs), val, 0.0)
 
@@ -92,7 +98,8 @@ def visible_both(dist, w0, w1, ax, ay):
 def pdf_wh(dist, wo, wh, ax, ay):
     """ref: microfacet.rs:49-52 (visible-normal pdf)."""
     return (distribution(dist, wh, ax, ay) * visible(dist, wo, ax, ay)
-            * jnp.abs(dot(wo, wh)) / jnp.abs(frame.cos_theta(wo)))
+            * jnp.abs(dot(wo, wh))
+            / jnp.maximum(jnp.abs(frame.cos_theta(wo)), 1e-20))
 
 
 def erf(x):
@@ -117,7 +124,7 @@ def erf_inv(x):
               0.00021858087, -0.00125372503, -0.00417768164,
               0.246640727, 1.50140941):
         p_lo = c + p_lo * w_lo
-    w_hi = jnp.sqrt(jnp.maximum(w, 0.0)) - 3.0
+    w_hi = jnp.sqrt(jnp.maximum(w, 1e-6)) - 3.0
     p_hi = -0.000200214257
     for c in (0.000100950558, 0.00134934322, -0.00367342844,
               0.00573950773, -0.0076224613, 0.00943887047,
@@ -134,8 +141,9 @@ def _sample_wh_beckmann(wo, u, ax, ay):
     ux = u[..., 0]
     uy = u[..., 1]
 
-    # near-normal branch
-    r_n = jnp.sqrt(-jnp.log(jnp.maximum(ux, 1e-20)))
+    # near-normal branch (u clamped into [0,1) by callers; the max
+    # below keeps the log finite either way)
+    r_n = jnp.sqrt(jnp.maximum(-jnp.log(jnp.maximum(ux, 1e-20)), 0.0))
     phi_n = 2.0 * PI * uy
     sx_n = r_n * jnp.cos(phi_n)
     sy_n = r_n * jnp.sin(phi_n)
@@ -144,13 +152,13 @@ def _sample_wh_beckmann(wo, u, ax, ay):
     cos_ts = jnp.clip(cos_t, 1e-6, 0.9999)
     sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_ts * cos_ts, 0.0))
     tan_t = sin_t / cos_ts
-    cot_t = cos_ts / sin_t
+    cot_t = cos_ts / jnp.maximum(sin_t, 1e-12)
     uxs = jnp.maximum(ux, 1e-6)
     theta = jnp.arccos(cos_ts)
     fit = 1.0 + theta * (-0.876 + theta * (0.4265 - 0.0594 * theta))
     sqrt_pi_inv = 1.0 / jnp.sqrt(PI)
     c0 = erf(cot_t)
-    b = c0 - (1.0 + c0) * (1.0 - uxs) ** fit
+    b = c0 - (1.0 + c0) * jnp.maximum(1.0 - uxs, 1e-10) ** fit
     norm = 1.0 / (1.0 + c0 + sqrt_pi_inv * tan_t * jnp.exp(-cot_t * cot_t))
 
     def newton_body(_, carry):
@@ -200,7 +208,7 @@ def _sample_wh_trowbridge_oneside(wo, u, ax, ay):
     cos_ts = jnp.clip(cos_t, 1e-6, 0.9999)
     sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_ts * cos_ts, 0.0))
     tan_t = sin_t / cos_ts
-    cot_t = cos_ts / sin_t
+    cot_t = cos_ts / jnp.maximum(sin_t, 1e-12)
     g1 = 2.0 / (1.0 + jnp.sqrt(1.0 + 1.0 / (cot_t * cot_t)))
     a = 2.0 * uy / g1 - 1.0
     denom = a * a - 1.0

@@ -108,8 +108,11 @@ def _oren_nayar_eval(c0, p0, p1, wo, wi):
     ci = jnp.abs(frame.cos_theta(wi))
     co = jnp.abs(frame.cos_theta(wo))
     sin_a = jnp.where(ci > co, sin_to, sin_ti)
-    tan_b = jnp.where(ci > co, sin_ti / jnp.maximum(ci, 1e-12),
-                      sin_to / jnp.maximum(co, 1e-12))
+    # clamp the grazing-angle tan spike: unbounded in the reference,
+    # it overflows f32 reverse-mode when amplified along a path
+    tan_b = jnp.minimum(
+        jnp.where(ci > co, sin_ti / jnp.maximum(ci, 1e-12),
+                  sin_to / jnp.maximum(co, 1e-12)), 1e4)
     return c0 * (INV_PI
                  * (p0 + p1 * max_cos * sin_a * tan_b))[..., None]
 
@@ -127,10 +130,19 @@ def _ts_r_eval(c0, alpha, eta0, eta1, dist, wo, wi):
     return jnp.where(nanmask[..., None], 0.0, f)
 
 
+def _safe_ratio(a, b):
+    """eta ratio with clamped magnitude: zero-filled inactive slots
+    otherwise produce eta ~ 1e20, and wi*eta then overflows
+    float32 length^2 inside normalize -> NaN."""
+    r = a / jnp.where(jnp.abs(b) < 1e-20, 1e-20, b)
+    return jnp.clip(r, -1e3, 1e3)
+
+
 def _ts_t_eval(c0, alpha, eta0, eta1, dist, wo, wi):
     """Torrance-Sparrow transmission (ref: microfacet.rs:459-490)."""
     same_side = wo[..., 2] * wi[..., 2] > 0.0
-    eta = jnp.where(wo[..., 2] > 0.0, eta1 / eta0, eta0 / eta1)
+    eta = jnp.where(wo[..., 2] > 0.0, _safe_ratio(eta1, eta0),
+                    _safe_ratio(eta0, eta1))
     wh = normalize(wo + wi * eta[..., None])
     wh_bad = ~jnp.all(jnp.isfinite(wh), axis=-1)
     wh = jnp.where((wh[..., 2] < 0.0)[..., None], -wh, wh)
@@ -205,7 +217,8 @@ def _ts_r_pdf(alpha, dist, wo, wi):
 
 
 def _ts_t_pdf(alpha, eta0, eta1, dist, wo, wi):
-    eta = jnp.where(wo[..., 2] > 0.0, eta1 / eta0, eta0 / eta1)
+    eta = jnp.where(wo[..., 2] > 0.0, _safe_ratio(eta1, eta0),
+                    _safe_ratio(eta0, eta1))
     wh = normalize(wo + wi * eta[..., None])
     bad = ~jnp.all(jnp.isfinite(wh), axis=-1)
     sqrt_denom = dot(wo, wh) + eta * dot(wi, wh)
@@ -248,10 +261,13 @@ def slot_sample(stype, c0, c1, p0, p1, p2, dist, wo, u):
     remapped after slot selection (reference quirk)."""
     n = wo.shape[0]
     ux = u[..., 0]
+    # Detached-sampling estimator: directions are constants w.r.t.
+    # material parameters; f and pdf stay differentiable (SURVEY §7 M5).
+    sg = jax.lax.stop_gradient
 
     # --- cosine-hemisphere families -------------------------------------
     from arendur_tpu.sampling.warps import sample_cosw_hemisphere
-    wi_cos = sample_cosw_hemisphere(u)
+    wi_cos = sg(sample_cosw_hemisphere(u))
     wi_same = jnp.where((wo[..., 2] < 0.0)[..., None],
                         wi_cos * jnp.asarray([1.0, 1.0, -1.0]), wi_cos)
     wi_opp = jnp.where((wo[..., 2] > 0.0)[..., None],
@@ -271,8 +287,9 @@ def slot_sample(stype, c0, c1, p0, p1, p2, dist, wo, u):
                     jnp.asarray([0.0, 0.0, 1.0]),
                     jnp.asarray([0.0, 0.0, -1.0]))
     nrm = jnp.broadcast_to(nrm, wo.shape)
-    eta_rel = etai / etao
-    wt, ok_t = frame.refract(wo, nrm, eta_rel)
+    eta_rel = _safe_ratio(etai, etao)
+    wt, ok_t = frame.refract(wo, nrm, sg(eta_rel))
+    wt = sg(wt)
     pdf_trans = 1.0 - fr
     f_trans = jnp.where(
         ok_t[..., None],
@@ -286,8 +303,8 @@ def slot_sample(stype, c0, c1, p0, p1, p2, dist, wo, u):
                           TRANSMISSION | SPECULAR)
 
     # --- Torrance-Sparrow reflection ------------------------------------
-    wh_r = mf.sample_wh(dist, wo, u, p0, p0)
-    wi_tsr = normalize(2.0 * dot(wo, wh_r, keepdims=True) * wh_r - wo)
+    wh_r = sg(mf.sample_wh(dist, wo, u, p0, p0))
+    wi_tsr = sg(normalize(2.0 * dot(wo, wh_r, keepdims=True) * wh_r - wo))
     pdf_tsr = mf.pdf_wh(dist, wo, wh_r, p0, p0) / (4.0 * dot(wo, wh_r))
     pdf_tsr = jnp.where(jnp.isfinite(pdf_tsr), pdf_tsr, 0.0)
     f_tsr = jnp.where(
@@ -295,8 +312,10 @@ def slot_sample(stype, c0, c1, p0, p1, p2, dist, wo, u):
         0.0, _ts_r_eval(c0, p0, p1, p2, dist, wo, wi_tsr))
 
     # --- Torrance-Sparrow transmission ----------------------------------
-    eta_tst = jnp.where(wo[..., 2] > 0.0, p1 / p2, p2 / p1)
-    wi_tst, ok_tst = frame.refract(wo, wh_r, eta_tst)
+    eta_tst = jnp.where(wo[..., 2] > 0.0, _safe_ratio(p1, p2),
+                        _safe_ratio(p2, p1))
+    wi_tst, ok_tst = frame.refract(wo, wh_r, sg(eta_tst))
+    wi_tst = sg(wi_tst)
     pdf_tst = jnp.where(ok_tst, _ts_t_pdf(p0, p1, p2, dist, wo, wi_tst),
                         0.0)
     f_tst = jnp.where(ok_tst[..., None],
@@ -304,10 +323,15 @@ def slot_sample(stype, c0, c1, p0, p1, p2, dist, wo, u):
 
     # --- Ashikhmin-Shirley 50/50 mixture --------------------------------
     spec_path = ux < 0.5
-    u_spec = jnp.stack([ux * 2.0, u[..., 1]], axis=-1)
-    u_diff = jnp.stack([(1.0 - ux) * 2.0, u[..., 1]], axis=-1)
-    wh_a = mf.sample_wh(dist, wo, u_spec, p0, p0)
-    wi_as = normalize(2.0 * dot(wo, wh_a, keepdims=True) * wh_a - wo)
+    # clip remapped samples into [0,1): the remap is only *used* on
+    # its own branch, but it is *computed* for every lane, and
+    # out-of-range u feeds sqrt(-log(u)) NaNs into sample_wh
+    u_spec = jnp.stack(
+        [jnp.clip(ux * 2.0, 0.0, 0.999999), u[..., 1]], axis=-1)
+    u_diff = jnp.stack(
+        [jnp.clip((1.0 - ux) * 2.0, 0.0, 0.999999), u[..., 1]], axis=-1)
+    wh_a = sg(mf.sample_wh(dist, wo, u_spec, p0, p0))
+    wi_as = sg(normalize(2.0 * dot(wo, wh_a, keepdims=True) * wh_a - wo))
     wi_ad_raw = sample_cosw_hemisphere(u_diff)
     wi_ad = jnp.where((wi_ad_raw[..., 2] < 0.0)[..., None],
                       wi_ad_raw * jnp.asarray([1.0, 1.0, -1.0]), wi_ad_raw)

@@ -26,15 +26,22 @@ def sin2_theta(w):
 
 
 def sin_theta(w):
-    return jnp.sqrt(sin2_theta(w))
+    return jnp.sqrt(jnp.maximum(sin2_theta(w), 1e-30))
+
+
+def _safe_div(a, b, eps=1e-20):
+    safe = jnp.where(jnp.abs(b) < eps, jnp.where(b < 0, -eps, eps), b)
+    return a / safe
 
 
 def tan_theta(w):
-    return sin_theta(w) / cos_theta(w)
+    # safe at grazing angles: huge-but-finite instead of inf, keeping
+    # reverse-mode NaN-free through masked lanes
+    return _safe_div(sin_theta(w), cos_theta(w))
 
 
 def tan2_theta(w):
-    return sin2_theta(w) / cos2_theta(w)
+    return sin2_theta(w) / jnp.maximum(cos2_theta(w), 1e-30)
 
 
 def cos_phi(w):
@@ -74,7 +81,7 @@ def refract(wo, n, eta):
     sin2 = jnp.maximum(1.0 - ct * ct, 0.0)
     sin2_t = eta * eta * sin2
     ok = sin2_t < 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-12))
     wt = -eta[..., None] * wo + (eta * ct - cos_t)[..., None] * n
     return jnp.where(ok[..., None], wt, 0.0), ok
 

@@ -40,16 +40,14 @@ def length(a, keepdims: bool = False):
     return jnp.sqrt(length2(a, keepdims=keepdims))
 
 
-def normalize(a, eps: float = 0.0):
+def normalize(a, eps: float = 1e-30):
     """Normalize along the last axis.
 
-    With eps=0 this matches the reference exactly (may produce
-    inf/nan on zero vectors, like cgmath's ``normalize``); pass a
-    small eps for gradient-safe normalization.
+    The squared norm is clamped below by `eps` so masked degenerate
+    lanes keep *finite* primals — required for NaN-free reverse-mode
+    through `jnp.where` (the "double-where" rule).
     """
-    n2 = length2(a, keepdims=True)
-    if eps:
-        n2 = jnp.maximum(n2, eps)
+    n2 = jnp.maximum(length2(a, keepdims=True), eps)
     return a * jnp.sqrt(1.0 / n2)
 
 

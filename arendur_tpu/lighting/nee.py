@@ -55,6 +55,7 @@ def light_sample(scene: sc.SceneData, lidx, pos, u2):
     lt = lights.ltype[lidx]
     emission = lights.emission[lidx]
     n = pos.shape[0]
+    sg = jax.lax.stop_gradient
 
     # ---- area sphere (in the sphere's local frame) ---------------------
     s_idx = jnp.clip(lights.prim[lidx], 0, scene.spheres.count - 1)
@@ -63,6 +64,7 @@ def light_sample(scene: sc.SceneData, lidx, pos, u2):
     pos_local = jax.vmap(tf.transform_point)(w2o, pos)
     lp_l, ln_l, pdf_area_s = sph.sample_sphere_local(
         scene.spheres, s_idx, u2)
+    lp_l, ln_l = sg(lp_l), sg(ln_l)
     wi_l = lp_l - pos_local
     d2_l = length2(wi_l)
     wi_ln = wi_l * jax.lax.rsqrt(jnp.maximum(d2_l, 1e-20))[..., None]
@@ -86,7 +88,7 @@ def light_sample(scene: sc.SceneData, lidx, pos, u2):
         tn0 = scene.tri_n0[t_idx]
         tn1 = scene.tri_n1[t_idx]
         tn2 = scene.tri_n2[t_idx]
-        bary = warps.sample_uniform_triangle(u2)
+        bary = sg(warps.sample_uniform_triangle(u2))
         lp_t, ln_t, pdf_area_t = tri.sample_tri(
             tv0, tv1, tv2, tn0, tn1, tn2, bary)
         wi_t = lp_t - pos

@@ -1,0 +1,158 @@
+"""Device-mesh sharded rendering and optimization.
+
+The reference scales by rayon work-stealing over film tiles
+(ref: renderer/pt.rs:131,163-167) and merges tiles afterwards
+(film.rs:82-101).  The TPU-native equivalent:
+
+* a 1-D ``rays`` mesh axis; the wave of camera rays is sharded across
+  it (deterministic ray->device assignment replaces work stealing);
+* scene/material/light tables are replicated per device;
+* each device splats its rays into a local film copy; a ``psum`` over
+  the mesh reduces the film (the tile merge);
+* for optimization, per-device gradients of the pixel loss w.r.t.
+  material parameters are psum-reduced the same way — collectives ride
+  ICI, emitted by shard_map.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+try:
+    from jax import shard_map as _shard_map_mod
+    shard_map = jax.shard_map
+except AttributeError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from arendur_tpu import scene as sc
+from arendur_tpu.filming import camera as cam
+from arendur_tpu.filming import film as flm
+from arendur_tpu.render import integrator as integ
+from arendur_tpu.sampling import sampler as smp
+
+AXIS = "rays"
+
+
+def make_ray_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(devices, (AXIS,))
+
+
+def sharded_render_fn(scene: sc.SceneData, camera: cam.CameraData,
+                      film_cfg: flm.FilmConfig,
+                      config: integ.RenderConfig, mesh: Mesh):
+    """Returns a jitted fn(ray_idx [N]) -> FilmState accumulating one
+    wave across the mesh.  N must divide evenly by the mesh size."""
+    w, h = film_cfg.resolution
+    spp = config.spp
+    base_key = smp.make_base_key(config.seed)
+    total = w * h * spp
+
+    def local_wave(ray_idx):
+        # runs per device on its shard of rays
+        ray_idx = ray_idx.reshape(-1)
+        pixel_id = ray_idx // spp
+        sample_id = ray_idx % spp
+        px = (pixel_id % w).astype(jnp.float32)
+        py = (pixel_id // w).astype(jnp.float32)
+        pixel_xy = jnp.stack([px, py], -1)
+        valid = ray_idx < total
+        pfilm, L = integ.trace_wave(
+            scene, camera, config, pixel_xy, pixel_id.astype(jnp.int32),
+            sample_id.astype(jnp.int32), base_key)
+        state = flm.film_init(film_cfg)
+        state = flm.film_splat(film_cfg, state, pfilm, L, mask=valid)
+        # film reduction across devices == reference tile merge
+        return flm.FilmState(
+            rgb=jax.lax.psum(state.rgb, AXIS),
+            weight=jax.lax.psum(state.weight, AXIS))
+
+    fn = shard_map(local_wave, mesh=mesh, in_specs=P(AXIS),
+                   out_specs=P())
+    return jax.jit(fn)
+
+
+def render_sharded(scene, camera, film_cfg, config, mesh: Mesh):
+    """Full sharded render over waves; wave size is rounded up to a
+    multiple of the mesh size."""
+    w, h = film_cfg.resolution
+    spp = config.spp
+    total = w * h * spp
+    nd = mesh.devices.size
+    wave = min(config.wave_size, total)
+    wave = ((wave + nd - 1) // nd) * nd
+    run = sharded_render_fn(scene, camera, film_cfg, config, mesh)
+
+    state = flm.film_init(film_cfg)
+    n_waves = (total + wave - 1) // wave
+    for i in range(n_waves):
+        idx = i * wave + jnp.arange(wave, dtype=jnp.int32)
+        part = run(idx)
+        state = flm.FilmState(rgb=state.rgb + part.rgb,
+                              weight=state.weight + part.weight)
+    return flm.film_finalize(state, film_cfg)
+
+
+def sharded_train_step_fn(scene: sc.SceneData, camera: cam.CameraData,
+                          film_cfg: flm.FilmConfig,
+                          config: integ.RenderConfig, mesh: Mesh,
+                          lr: float = 0.05):
+    """One material-optimization step, sharded over rays.
+
+    Returns jitted fn(kd_params [M,3], target [H*W,3], ray_idx [N])
+    -> (new_kd, loss).  Loss is the film-MSE against the target; the
+    gradient w.r.t. the diffuse material table flows through the
+    differentiable render (detached-sampling estimator) and is
+    psum-reduced over the mesh along with the film.
+    """
+    w, h = film_cfg.resolution
+    spp = config.spp
+    base_key = smp.make_base_key(config.seed)
+    total = w * h * spp
+
+    def local_step(kd, target, ray_idx):
+        ray_idx = ray_idx.reshape(-1)
+
+        def loss_fn(kd):
+            scene2 = scene.replace(
+                materials=scene.materials.replace(kd=kd))
+            pixel_id = ray_idx // spp
+            sample_id = ray_idx % spp
+            px = (pixel_id % w).astype(jnp.float32)
+            py = (pixel_id // w).astype(jnp.float32)
+            pixel_xy = jnp.stack([px, py], -1)
+            valid = ray_idx < total
+            pfilm, L = integ.trace_wave(
+                scene2, camera, config, pixel_xy,
+                pixel_id.astype(jnp.int32), sample_id.astype(jnp.int32),
+                base_key)
+            state = flm.film_init(film_cfg)
+            state = flm.film_splat(film_cfg, state, pfilm, L, mask=valid)
+            rgb = jax.lax.psum(state.rgb, AXIS)
+            wgt = jax.lax.psum(state.weight, AXIS)
+            img = jnp.where((wgt > 0.0)[:, None],
+                            rgb / jnp.maximum(wgt, 1e-8)[:, None], 0.0)
+            mask = (wgt > 0.0)[:, None]
+            return jnp.sum(jnp.where(mask, (img - target) ** 2, 0.0)) \
+                / jnp.maximum(jnp.sum(mask), 1.0)
+
+        loss, grad = jax.value_and_grad(loss_fn)(kd)
+        # Sanitize non-finite gradient entries: rare firefly paths
+        # (grazing-angle Oren-Nayar bounces off emitter spheres) can
+        # overflow f32 reverse-mode for single material rows.  This is
+        # the gradient-space analog of the reference dropping invalid
+        # radiance samples (pt.rs:152-156).  TODO(round2): chase the
+        # remaining overflow so this becomes a no-op.
+        grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
+        # grads of replicated params are identical after the psum
+        # inside loss_fn; plain SGD step
+        new_kd = kd - lr * grad
+        return new_kd, loss
+
+    fn = shard_map(local_step, mesh=mesh,
+                   in_specs=(P(), P(), P(AXIS)),
+                   out_specs=(P(), P()))
+    return jax.jit(fn)

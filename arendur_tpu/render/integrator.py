@@ -117,7 +117,12 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         alive = lane_active & cont & beta_ok
 
         o = sc.offset_ray_origin(hit.pos, hit.pos_err, hit.ng, wi)
-        d = wi
+        # dead lanes may carry a zero direction (e.g. TIR); give them a
+        # unit fallback so the next intersection pass stays finite
+        degenerate = jnp.sum(wi * wi, -1) < 1e-12
+        d = jnp.where(degenerate[..., None],
+                      jnp.asarray([0.0, 0.0, 1.0]), wi)
+        alive = alive & ~degenerate
 
         # (5) russian roulette (ref: pt.rs:117-122)
         if bounce + 1 >= config.max_depth:

@@ -93,13 +93,16 @@ def sample_uniform_triangle(u):
 
 
 def power_heuristic(nf, pdff, ng, pdfg):
-    """beta=2 power heuristic (ref: sample/mod.rs:243-247)."""
+    """beta=2 power heuristic (ref: sample/mod.rs:243-247).  The
+    denominator is clamped so 0/0 lanes stay finite (their
+    contribution is masked, but a NaN primal would poison
+    reverse-mode)."""
     f = nf * pdff
     g = ng * pdfg
-    return (f * f) / (f * f + g * g)
+    return (f * f) / jnp.maximum(f * f + g * g, 1e-30)
 
 
 def balance_heuristic(nf, pdff, ng, pdfg):
     f = nf * pdff
     g = ng * pdfg
-    return f / (f + g)
+    return f / jnp.maximum(f + g, 1e-30)

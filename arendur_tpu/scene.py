@@ -377,16 +377,23 @@ def intersect(scene: SceneData, o, d, tmax=None) -> Hit:
         any_hit,
         pick1(scene.n_tris + jnp.maximum(sp["sphere_idx"], 0), tri_idx),
         -1).astype(jnp.int32)
+
+    # miss lanes get a benign default interaction so no garbage (or
+    # overflow-to-inf) values flow into downstream shading math — a
+    # finite-primal requirement for NaN-free reverse-mode
+    hm = any_hit[:, None]
+    zaxis = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    xaxis = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
     return Hit(
         hit=any_hit,
         t=jnp.where(any_hit, t, jnp.inf),
         prim=prim,
-        pos=pick3(pos_s, pos_tri),
-        pos_err=pick3(perr_s, perr_tri),
-        ng=pick3(ng_s, ng_tri),
-        ns=pick3(ng_s, ns_tri),
-        dpdu=pick3(dpdu_s, dpdu_tri),
-        uv=pick3(uv_s, uv_tri),
+        pos=jnp.where(hm, pick3(pos_s, pos_tri), 0.0),
+        pos_err=jnp.where(hm, pick3(perr_s, perr_tri), 0.0),
+        ng=jnp.where(hm, pick3(ng_s, ng_tri), zaxis),
+        ns=jnp.where(hm, pick3(ng_s, ns_tri), zaxis),
+        dpdu=jnp.where(hm, pick3(dpdu_s, dpdu_tri), xaxis),
+        uv=jnp.where(hm, pick3(uv_s, uv_tri), 0.0),
         mat_id=jnp.where(any_hit, pick1(mat_s, mat_tri), 0).astype(
             jnp.int32),
         light_id=jnp.where(any_hit, pick1(light_s, light_tri),

@@ -69,12 +69,12 @@ def _intersect_local(o, d, tmax, radius, zmin, zmax, phimax):
     Reference quadratic (sphere.rs:193-221) then clip (sphere.rs:231-245,
     which rejects rather than retrying the far root — mirrored).
     """
-    a = dot(d, d)
+    a = jnp.maximum(dot(d, d), 1e-20)
     b = 2.0 * dot(d, o)
     c = dot(o, o) - radius * radius
     delta = b * b - 4.0 * a * c
     has_root = delta >= 0.0
-    sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+    sq = jnp.sqrt(jnp.maximum(delta, 1e-30))
     inv2a = 1.0 / (2.0 * a)
     d1 = sq * inv2a
     d0 = -b * inv2a
@@ -104,9 +104,11 @@ def _local_duv(p, radius, thetamin, thetamax, phimax):
     phi = jnp.arctan2(p[..., 1], p[..., 0])
     phi = jnp.where(phi < 0.0, phi + 2.0 * PI, phi)
     u = phi / phimax
-    theta = jnp.arccos(jnp.clip(p[..., 2] / radius, -1.0, 1.0))
+    theta = jnp.arccos(jnp.clip(p[..., 2] / radius, -1.0 + 1e-7,
+                                1.0 - 1e-7))
     v = (theta - thetamin) / thetadelta
-    inv_zr = 1.0 / jnp.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2)
+    inv_zr = 1.0 / jnp.sqrt(
+        jnp.maximum(p[..., 0] ** 2 + p[..., 1] ** 2, 1e-30))
     cphi = p[..., 0] * inv_zr
     sphi = p[..., 1] * inv_zr
     dpdu = vec3(-phimax * p[..., 1], phimax * p[..., 0],
@@ -188,7 +190,7 @@ def sample_sphere_local(spheres: SphereSoA, s_idx, u2,
         z = jnp.cos(theta)
     else:
         z = zmin / radius + u2[..., 1] * (zmax - zmin) / radius
-        theta = jnp.arccos(jnp.clip(z, -1.0, 1.0))
+        theta = jnp.arccos(jnp.clip(z, -1.0 + 1e-7, 1.0 - 1e-7))
     st = jnp.sin(theta)
     n = vec3(st * jnp.cos(phi), st * jnp.sin(phi), jnp.cos(theta))
     p = n * radius[..., None]

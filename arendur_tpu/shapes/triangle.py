@@ -145,11 +145,14 @@ def intersect_scene_tris(o, d, tmax, v0, v1, v2, chunk: int = 512):
     v2c = v2p.reshape(nchunks, chunk, 3)
     base_ids = jnp.arange(nchunks) * chunk
 
+    # derive the init carry from the (possibly mesh-varying) ray
+    # arrays so shard_map's varying-axes check accepts the scan
+    tie = o[:, 0] * 0.0
     init = (
-        tmax.astype(jnp.float32),
-        jnp.full((n,), -1, jnp.int32),
-        jnp.zeros((n,), jnp.float32),
-        jnp.zeros((n,), jnp.float32),
+        tmax.astype(jnp.float32) + tie,
+        jnp.full((n,), -1, jnp.int32) + tie.astype(jnp.int32),
+        tie,
+        tie,
     )
 
     def body(carry, inp):
@@ -197,7 +200,7 @@ def occluded_tris(o, d, tmax, v0, v1, v2, chunk: int = 512):
         return blocked | jnp.any(valid, axis=-1), None
 
     blocked, _ = jax.lax.scan(
-        body, jnp.zeros(o.shape[0], bool), (v0c, v1c, v2c, base_ids))
+        body, o[:, 0] != o[:, 0], (v0c, v1c, v2c, base_ids))
     return blocked
 
 

