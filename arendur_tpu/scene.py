@@ -22,6 +22,7 @@ from arendur_tpu.shapes import sphere as sph
 from arendur_tpu.materials import MaterialTable, make_material_table
 from arendur_tpu.sampling.distribution import (
     Distribution1D, build_distribution_1d)
+from arendur_tpu.accel import bvh as bvhmod
 
 # light types
 L_AREA_SPHERE = 0
@@ -62,6 +63,7 @@ class SceneData:
     materials: MaterialTable
     lights: LightTable
     light_distribution: Distribution1D
+    bvh: Optional[bvhmod.BVH] = None
 
     @property
     def n_tris(self):
@@ -218,7 +220,7 @@ class SceneBuilder:
             return lum * np.pi * wr * wr
         return lum
 
-    def build(self) -> SceneData:
+    def build(self, use_bvh: bool = False) -> SceneData:
         cat = lambda lst, d: (np.concatenate(lst, 0) if lst
                               else np.zeros((0,) + d, np.float32))
         v0 = cat(self.tv0, (3,))
@@ -294,7 +296,11 @@ class SceneBuilder:
         catf = lambda lst, d, dt=np.float32: (
             np.concatenate(lst, 0).astype(dt) if lst
             else np.zeros((0,) + d, dt))
+        bvh = None
+        if use_bvh and len(v0) > 0:
+            bvh = bvhmod.build_bvh(v0, v1, v2)
         return SceneData(
+            bvh=bvh,
             tri_v0=jnp.asarray(v0), tri_v1=jnp.asarray(v1),
             tri_v2=jnp.asarray(v2),
             tri_n0=jnp.asarray(catf(self.tn0, (3,))),
@@ -327,8 +333,13 @@ def intersect(scene: SceneData, o, d, tmax=None) -> Hit:
     if tmax is None:
         tmax = jnp.full((n,), jnp.inf, jnp.float32)
 
-    t_tri, tri_idx, b0, b1 = tri.intersect_scene_tris(
-        o, d, tmax, scene.tri_v0, scene.tri_v1, scene.tri_v2)
+    if scene.bvh is not None:
+        t_tri, tri_idx, b0, b1 = bvhmod.intersect_bvh(
+            scene.bvh, scene.tri_v0, scene.tri_v1, scene.tri_v2,
+            o, d, tmax)
+    else:
+        t_tri, tri_idx, b0, b1 = tri.intersect_scene_tris(
+            o, d, tmax, scene.tri_v0, scene.tri_v1, scene.tri_v2)
     tri_hit = tri_idx >= 0
     t_tri = jnp.where(tri_hit, t_tri, jnp.inf)
 
@@ -402,8 +413,14 @@ def intersect(scene: SceneData, o, d, tmax=None) -> Hit:
 
 def occluded(scene: SceneData, o, d, tmax) -> jnp.ndarray:
     """Any-hit query for shadow rays."""
-    blocked_t = tri.occluded_tris(
-        o, d, tmax, scene.tri_v0, scene.tri_v1, scene.tri_v2)
+    if scene.bvh is not None:
+        t_tri, tri_idx, _, _ = bvhmod.intersect_bvh(
+            scene.bvh, scene.tri_v0, scene.tri_v1, scene.tri_v2,
+            o, d, tmax)
+        blocked_t = tri_idx >= 0
+    else:
+        blocked_t = tri.occluded_tris(
+            o, d, tmax, scene.tri_v0, scene.tri_v1, scene.tri_v2)
     sp = sph.intersect_spheres(scene.spheres, o, d, tmax)
     return blocked_t | sp["hit"]
 
