@@ -44,8 +44,11 @@ def sample_one_light(scene: sc.SceneData, u):
 
 
 def is_delta_light(scene: sc.SceneData, lidx):
+    """Point and spot are delta (LIGHT_DPOS); the reference's distant
+    light is LIGHT_INFINITE which is *not* delta (lighting/mod.rs:
+    93-98), so it goes through the MIS path with Light::pdf == 0."""
     lt = scene.lights.ltype[lidx]
-    return (lt == sc.L_POINT) | (lt == sc.L_SPOT) | (lt == sc.L_DISTANT)
+    return (lt == sc.L_POINT) | (lt == sc.L_SPOT)
 
 
 def light_sample(scene: sc.SceneData, lidx, pos, u2):

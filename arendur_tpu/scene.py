@@ -214,7 +214,8 @@ class SceneBuilder:
             return lum * 4.0 * np.pi
         if lt == L_SPOT:
             ct, cf = row["params"][0], row["params"][1]
-            return lum * 2.0 * np.pi * (1 - 0.5 * (ct + cf))
+            # ref: pointlights.rs SpotLight::power
+            return lum * 2.0 * np.pi * (1 - 0.5 * (cf - ct))
         if lt == L_DISTANT:
             wr = row["params"][0]
             return lum * np.pi * wr * wr

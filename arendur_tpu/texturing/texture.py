@@ -1,0 +1,188 @@
+"""Image textures with mipmap pyramids and (tri)linear filtering
+(ref: src/texturing/textures/image.rs).
+
+Host side: decode + build the full pyramid down to 1x1 (the reference
+uses Lanczos3 downsampling; we use a 2x2 box which is standard for
+renderers and visually indistinguishable at the pyramid levels).
+Device side: all textures of a scene are packed into one flat atlas
+array; lookups gather by texture id with Repeat/Clamp/Black wrap modes
+(image.rs:601-609) and optional gamma decode (image.rs:621-627).
+
+Round-1 filtering is bilinear at level 0 with optional trilinear
+level blending driven by a caller-provided lod; EWA anisotropic
+filtering (image.rs:448-532) is tracked for a later milestone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+WRAP_REPEAT = 0
+WRAP_BLACK = 1
+WRAP_CLAMP = 2
+
+
+@struct.dataclass
+class TextureAtlas:
+    """All image textures packed into one flat [P, 3] texel pool.
+
+    Per-texture, per-level metadata indexes into the pool:
+    offset[t, l], width[t, l], height[t, l] for levels l < n_levels[t]
+    (padded with the last level).
+    """
+    texels: jnp.ndarray    # [P,3] float32
+    offset: jnp.ndarray    # [T,L] int32
+    width: jnp.ndarray     # [T,L] int32
+    height: jnp.ndarray    # [T,L] int32
+    n_levels: jnp.ndarray  # [T] int32
+    wrap: jnp.ndarray      # [T] int32
+    scale: jnp.ndarray     # [T] float32
+    uv_scale: jnp.ndarray  # [T,2] float32 (UVMapping scaling)
+    uv_shift: jnp.ndarray  # [T,2] float32
+
+    @property
+    def count(self):
+        return self.n_levels.shape[0]
+
+
+class AtlasBuilder:
+    def __init__(self):
+        self.images: List[dict] = []
+
+    def add_image(self, rgb: np.ndarray, wrap: int = WRAP_REPEAT,
+                  gamma: bool = False, scale: float = 1.0,
+                  uv_scale=(1.0, 1.0), uv_shift=(0.0, 0.0)) -> int:
+        """rgb: [H,W,3] float in [0,1] (or uint8).  Returns texture id."""
+        img = np.asarray(rgb)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        img = img.astype(np.float32)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, -1)
+        if gamma:
+            # sRGB decode (ref: image.rs:621-627)
+            img = np.where(img <= 0.04045, img / 12.92,
+                           ((img + 0.055) / 1.055) ** 2.4)
+        levels = [img]
+        while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
+            prev = levels[-1]
+            h2 = max(1, prev.shape[0] // 2)
+            w2 = max(1, prev.shape[1] // 2)
+            ph = prev[:2 * h2, :2 * w2]
+            down = 0.25 * (ph[0::2, 0::2] + ph[1::2, 0::2]
+                           + ph[0::2, 1::2] + ph[1::2, 1::2]) \
+                if (prev.shape[0] > 1 and prev.shape[1] > 1) else \
+                ph.reshape(h2, w2, -1, 3).mean(2)
+            levels.append(down.astype(np.float32))
+        self.images.append(dict(levels=levels, wrap=wrap, scale=scale,
+                                uv_scale=uv_scale, uv_shift=uv_shift))
+        return len(self.images) - 1
+
+    def build(self) -> Optional[TextureAtlas]:
+        if not self.images:
+            return None
+        max_l = max(len(im["levels"]) for im in self.images)
+        texels = []
+        offset = np.zeros((len(self.images), max_l), np.int32)
+        width = np.zeros_like(offset)
+        height = np.zeros_like(offset)
+        n_levels = np.zeros(len(self.images), np.int32)
+        cursor = 0
+        for t, im in enumerate(self.images):
+            n_levels[t] = len(im["levels"])
+            for l in range(max_l):
+                lev = im["levels"][min(l, len(im["levels"]) - 1)]
+                if l < len(im["levels"]):
+                    offset[t, l] = cursor
+                    height[t, l], width[t, l] = lev.shape[:2]
+                    texels.append(lev.reshape(-1, 3))
+                    cursor += lev.shape[0] * lev.shape[1]
+                else:
+                    offset[t, l] = offset[t, l - 1]
+                    width[t, l] = width[t, l - 1]
+                    height[t, l] = height[t, l - 1]
+        return TextureAtlas(
+            texels=jnp.asarray(np.concatenate(texels, 0)),
+            offset=jnp.asarray(offset), width=jnp.asarray(width),
+            height=jnp.asarray(height), n_levels=jnp.asarray(n_levels),
+            wrap=jnp.asarray(np.asarray(
+                [im["wrap"] for im in self.images], np.int32)),
+            scale=jnp.asarray(np.asarray(
+                [im["scale"] for im in self.images], np.float32)),
+            uv_scale=jnp.asarray(np.asarray(
+                [im["uv_scale"] for im in self.images], np.float32)),
+            uv_shift=jnp.asarray(np.asarray(
+                [im["uv_shift"] for im in self.images], np.float32)))
+
+
+def _wrap_coords(i, n, mode):
+    rep = jnp.mod(i, jnp.maximum(n, 1))
+    clp = jnp.clip(i, 0, n - 1)
+    out = jnp.where(mode == WRAP_REPEAT, rep, clp)
+    oob = (i < 0) | (i >= n)
+    return out, oob
+
+
+def _fetch_level(atlas: TextureAtlas, tex_id, level, x, y):
+    """Gather texels at integer (x, y) of given level; applies wrap."""
+    off = atlas.offset[tex_id, level]
+    w = atlas.width[tex_id, level]
+    h = atlas.height[tex_id, level]
+    mode = atlas.wrap[tex_id]
+    xi, oob_x = _wrap_coords(x, w, mode)
+    yi, oob_y = _wrap_coords(y, h, mode)
+    texel = atlas.texels[off + yi * w + xi]
+    black = (mode == WRAP_BLACK) & (oob_x | oob_y)
+    return jnp.where(black[..., None], 0.0, texel)
+
+
+def _bilinear(atlas, tex_id, level, u, v):
+    """'triangle' filter at one level (ref: image.rs:411-446)."""
+    w = atlas.width[tex_id, level].astype(jnp.float32)
+    h = atlas.height[tex_id, level].astype(jnp.float32)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0.astype(jnp.float32))[..., None]
+    fy = (y - y0.astype(jnp.float32))[..., None]
+    c00 = _fetch_level(atlas, tex_id, level, x0, y0)
+    c10 = _fetch_level(atlas, tex_id, level, x0 + 1, y0)
+    c01 = _fetch_level(atlas, tex_id, level, x0, y0 + 1)
+    c11 = _fetch_level(atlas, tex_id, level, x0 + 1, y0 + 1)
+    return ((1 - fx) * (1 - fy) * c00 + fx * (1 - fy) * c10
+            + (1 - fx) * fy * c01 + fx * fy * c11)
+
+
+def sample_texture(atlas: TextureAtlas, tex_id, uv, lod=None):
+    """Batched lookup: tex_id [N] int32, uv [N,2].  Optional lod [N]
+    enables trilinear level interpolation."""
+    su = uv[..., 0] * atlas.uv_scale[tex_id, 0] + atlas.uv_shift[tex_id, 0]
+    sv = uv[..., 1] * atlas.uv_scale[tex_id, 1] + atlas.uv_shift[tex_id, 1]
+    if lod is None:
+        out = _bilinear(atlas, tex_id, jnp.zeros_like(tex_id), su, sv)
+    else:
+        max_level = atlas.n_levels[tex_id] - 1
+        l = jnp.clip(lod, 0.0, max_level.astype(jnp.float32))
+        l0 = jnp.floor(l).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, max_level)
+        f = (l - l0.astype(jnp.float32))[..., None]
+        out = ((1 - f) * _bilinear(atlas, tex_id, l0, su, sv)
+               + f * _bilinear(atlas, tex_id, l1, su, sv))
+    return out * atlas.scale[tex_id][..., None]
+
+
+def eval_rgb(atlas: Optional[TextureAtlas], tex_id, uv, fallback):
+    """Material-table helper: image lookup where tex_id >= 0, else the
+    constant fallback color [N,3]."""
+    if atlas is None:
+        return fallback
+    safe_id = jnp.maximum(tex_id, 0)
+    tex = sample_texture(atlas, safe_id, uv)
+    return jnp.where((tex_id >= 0)[..., None], tex, fallback)
