@@ -45,6 +45,10 @@ class RenderConfig:
     seed: int = 0
     wave_size: int = 1 << 16    # rays per wavefront launch
     textures: Optional[object] = None
+    unroll_bounces: bool = False  # True: unrolled python loop (bigger
+                                  # HLO, potentially more fusion);
+                                  # False: lax.scan over bounces
+                                  # (compiles one bounce body)
 
     @property
     def min_depth(self):
@@ -69,11 +73,12 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
     n = o.shape[0]
     L = jnp.zeros((n, 3), jnp.float32)
     beta = jnp.ones((n, 3), jnp.float32)
-    alive = jnp.ones((n,), bool)
-    specular = jnp.zeros((n,), bool)
+    alive = o[:, 0] == o[:, 0]
+    specular = o[:, 0] != o[:, 0]
 
-    for bounce in range(config.max_depth):
-        dim0 = smp.bounce_dim(bounce, 0)
+    def bounce_step(bounce, o, d, L, beta, alive, specular):
+        """One path-tracing bounce; `bounce` may be a traced scalar."""
+        dim0 = smp.BOUNCE_DIM_BASE + bounce * smp.DIMS_PER_BOUNCE
         hit = sc.intersect(scene, o, d)
         lane_active = alive & hit.hit
 
@@ -81,10 +86,8 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         # primitive's lighting profile, interaction.rs:254-261 —
         # evaluate_path returns the emission texture irrespective of
         # orientation for constant profiles)
-        if bounce == 0:
-            take_le = lane_active & (hit.light_id >= 0)
-        else:
-            take_le = lane_active & (hit.light_id >= 0) & specular
+        take_le = lane_active & (hit.light_id >= 0) \
+            & ((bounce == 0) | specular)
         le = scene.lights.emission[jnp.maximum(hit.light_id, 0)]
         L = L + jnp.where(take_le[..., None], beta * le, 0.0)
 
@@ -125,17 +128,28 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         alive = alive & ~degenerate
 
         # (5) russian roulette (ref: pt.rs:117-122)
-        if bounce + 1 >= config.max_depth:
-            alive = jnp.zeros_like(alive)
-        elif bounce + 1 >= config.min_depth:
-            lum = spec.luminance(beta)
-            q = max(config.rr_threshold, 0.05)
-            u_rr = smp.uniform_1d(keys, dim0 + smp.DIM_RR)
-            roulette = lum < config.rr_threshold
-            killed = roulette & (u_rr < q)
-            beta = jnp.where((roulette & ~killed)[..., None],
-                             beta / (1.0 - q), beta)
-            alive = alive & ~killed
+        lum = spec.luminance(beta)
+        q = max(config.rr_threshold, 0.05)
+        u_rr = smp.uniform_1d(keys, dim0 + smp.DIM_RR)
+        rr_active = (bounce + 1) >= config.min_depth
+        roulette = rr_active & (lum < config.rr_threshold)
+        killed = roulette & (u_rr < q)
+        beta = jnp.where((roulette & ~killed)[..., None],
+                         beta / (1.0 - q), beta)
+        alive = alive & ~killed & ((bounce + 1) < config.max_depth)
+        return o, d, L, beta, alive, specular
+
+    if config.unroll_bounces:
+        for bounce in range(config.max_depth):
+            o, d, L, beta, alive, specular = bounce_step(
+                bounce, o, d, L, beta, alive, specular)
+    else:
+        def scan_body(carry, bounce):
+            return bounce_step(bounce, *carry), None
+
+        (o, d, L, beta, alive, specular), _ = jax.lax.scan(
+            scan_body, (o, d, L, beta, alive, specular),
+            jnp.arange(config.max_depth, dtype=jnp.int32))
 
     # invalid radiance becomes black, as the renderer does before
     # add_sample (pt.rs:152-156)
