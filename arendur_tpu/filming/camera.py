@@ -121,13 +121,15 @@ def make_ortho(parent_view, screen_min, screen_max, znear, zfar,
         view_screen, screen_min, screen_max, resolution)
     lens_arr = np.asarray(lens if lens is not None else (0.0, 0.0),
                           np.float32)
+    dx = np.asarray([1.0, 0.0, 0.0], np.float32) @ raster_view[:3, :3]
+    dy = np.asarray([0.0, 1.0, 0.0], np.float32) @ raster_view[:3, :3]
     return CameraData(
         view_parent=jnp.asarray(view_parent),
         parent_view=jnp.asarray(parent_view),
         raster_view=jnp.asarray(raster_view),
         view_screen=jnp.asarray(view_screen),
         screen_raster=jnp.asarray(screen_raster),
-        dx=jnp.asarray([1.0, 0.0, 0.0]), dy=jnp.asarray([0.0, 1.0, 0.0]),
+        dx=jnp.asarray(dx), dy=jnp.asarray(dy),
         lens=jnp.asarray(lens_arr),
         area=jnp.asarray(1.0, jnp.float32),
         kind=1)
@@ -149,8 +151,9 @@ def generate_rays(cam: CameraData, pfilm, plens):
         o = jnp.zeros((n, 3), pfilm.dtype)
         d = normalize(pview)
     else:
-        o = jnp.concatenate(
-            [pview[:, :2], jnp.zeros((n, 1), pfilm.dtype)], axis=-1)
+        # ortho rays start at the raster->view point (including z)
+        # and travel +z (ref: ortho.rs:182-185)
+        o = pview
         d = jnp.broadcast_to(
             jnp.asarray([0.0, 0.0, 1.0], pfilm.dtype), (n, 3))
 
