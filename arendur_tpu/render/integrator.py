@@ -71,8 +71,10 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
     o, d = cam.generate_rays(camera, pfilm, plens)
 
     n = o.shape[0]
-    L = jnp.zeros((n, 3), jnp.float32)
-    beta = jnp.ones((n, 3), jnp.float32)
+    # tie the carries to the (possibly mesh-varying) ray arrays so the
+    # bounce scan type-checks under shard_map's varying-axes analysis
+    L = jnp.zeros((n, 3), jnp.float32) + o * 0.0
+    beta = jnp.ones((n, 3), jnp.float32) + o * 0.0
     alive = o[:, 0] == o[:, 0]
     specular = o[:, 0] != o[:, 0]
 
