@@ -156,16 +156,13 @@ def build_bvh(v0, v1, v2, max_leaf: int = 4) -> BVH:
         sys.setrecursionlimit(old_limit)
 
     return BVH(
-        bmin=jnp.asarray(np.stack([n["bmin"] for n in nodes])),
-        bmax=jnp.asarray(np.stack([n["bmax"] for n in nodes])),
-        second=jnp.asarray(np.asarray(
-            [n["second"] for n in nodes], np.int32)),
-        start=jnp.asarray(np.asarray(
-            [n["start"] for n in nodes], np.int32)),
-        count=jnp.asarray(np.asarray(
-            [n["count"] for n in nodes], np.int32)),
-        axis=jnp.asarray(np.asarray([n["axis"] for n in nodes], np.int32)),
-        order=jnp.asarray(order))
+        bmin=np.stack([n["bmin"] for n in nodes]),
+        bmax=np.stack([n["bmax"] for n in nodes]),
+        second=np.asarray([n["second"] for n in nodes], np.int32),
+        start=np.asarray([n["start"] for n in nodes], np.int32),
+        count=np.asarray([n["count"] for n in nodes], np.int32),
+        axis=np.asarray([n["axis"] for n in nodes], np.int32),
+        order=order)
 
 
 def _slab_test(bmin, bmax, o, inv_d, tmax):
@@ -210,6 +207,9 @@ def intersect_bvh(bvh: BVH, v0, v1, v2, o, d, tmax, max_leaf: int = 4):
     leaf ranges to primitive ids.  Returns (t, tri_idx, b0, b1) like
     intersect_scene_tris.
     """
+    from arendur_tpu.geometry.vec import as_jax
+    bvh = as_jax(bvh)
+    v0, v1, v2 = jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
     n = o.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
                             jnp.where(d < 0, -1e-20, 1e-20), d)

@@ -93,15 +93,11 @@ def make_perspective(parent_view, screen_min, screen_max, znear, zfar,
     lens_arr = np.asarray(lens if lens is not None else (0.0, 0.0),
                           np.float32)
     return CameraData(
-        view_parent=jnp.asarray(view_parent),
-        parent_view=jnp.asarray(parent_view),
-        raster_view=jnp.asarray(raster_view),
-        view_screen=jnp.asarray(view_screen),
-        screen_raster=jnp.asarray(screen_raster),
-        dx=jnp.asarray(dx), dy=jnp.asarray(dy),
-        lens=jnp.asarray(lens_arr),
-        area=jnp.asarray(area, jnp.float32),
-        kind=0)
+        view_parent=view_parent, parent_view=parent_view,
+        raster_view=raster_view, view_screen=view_screen,
+        screen_raster=screen_raster,
+        dx=np.asarray(dx, np.float32), dy=np.asarray(dy, np.float32),
+        lens=lens_arr, area=np.float32(area), kind=0)
 
 
 def make_ortho(parent_view, screen_min, screen_max, znear, zfar,
@@ -124,15 +120,11 @@ def make_ortho(parent_view, screen_min, screen_max, znear, zfar,
     dx = np.asarray([1.0, 0.0, 0.0], np.float32) @ raster_view[:3, :3]
     dy = np.asarray([0.0, 1.0, 0.0], np.float32) @ raster_view[:3, :3]
     return CameraData(
-        view_parent=jnp.asarray(view_parent),
-        parent_view=jnp.asarray(parent_view),
-        raster_view=jnp.asarray(raster_view),
-        view_screen=jnp.asarray(view_screen),
-        screen_raster=jnp.asarray(screen_raster),
-        dx=jnp.asarray(dx), dy=jnp.asarray(dy),
-        lens=jnp.asarray(lens_arr),
-        area=jnp.asarray(1.0, jnp.float32),
-        kind=1)
+        view_parent=view_parent, parent_view=parent_view,
+        raster_view=raster_view, view_screen=view_screen,
+        screen_raster=screen_raster,
+        dx=np.asarray(dx, np.float32), dy=np.asarray(dy, np.float32),
+        lens=lens_arr, area=np.float32(1.0), kind=1)
 
 
 def generate_rays(cam: CameraData, pfilm, plens):
@@ -142,6 +134,8 @@ def generate_rays(cam: CameraData, pfilm, plens):
     PerspecCam::generate_path (perspective.rs:271-290) including
     thin-lens depth of field.
     """
+    import jax as _jax
+    cam = _jax.tree_util.tree_map(jnp.asarray, cam)
     n = pfilm.shape[0]
     pfilm3 = jnp.concatenate(
         [pfilm, jnp.zeros((n, 1), pfilm.dtype)], axis=-1)

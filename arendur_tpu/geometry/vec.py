@@ -71,3 +71,13 @@ def abs_max_axis(a):
     """Index of the component with largest |value| (ref: ray.rs shearing
     transform picks the dominant axis)."""
     return jnp.argmax(jnp.abs(a), axis=-1)
+
+
+def as_jax(pytree):
+    """Convert NumPy leaves to jax constants at trace time (no-op for
+    already-traced leaves).  Scene/camera pytrees are built on NumPy so
+    jit closures bake them into the executable in one upload; call
+    this at function entry before traced-index gathers."""
+    import jax as _jax
+    import jax.numpy as _jnp
+    return _jax.tree_util.tree_map(_jnp.asarray, pytree)

@@ -40,20 +40,23 @@ PI = float(jnp.pi)
 
 def sample_one_light(scene: sc.SceneData, u):
     """Power-weighted light pick (ref: scene.rs:169-173)."""
-    return sample_discrete(scene.light_distribution, u)
+    from arendur_tpu.geometry.vec import as_jax
+    return sample_discrete(as_jax(scene.light_distribution), u)
 
 
 def is_delta_light(scene: sc.SceneData, lidx):
     """Point and spot are delta (LIGHT_DPOS); the reference's distant
     light is LIGHT_INFINITE which is *not* delta (lighting/mod.rs:
     93-98), so it goes through the MIS path with Light::pdf == 0."""
-    lt = scene.lights.ltype[lidx]
+    lt = jnp.asarray(scene.lights.ltype)[lidx]
     return (lt == sc.L_POINT) | (lt == sc.L_SPOT)
 
 
 def light_sample(scene: sc.SceneData, lidx, pos, u2):
     """Sample an incoming direction from light lidx [N] toward pos
     [N,3].  Returns dict(radiance, pdf, pfrom, wi, dist2, delta)."""
+    from arendur_tpu.geometry.vec import as_jax
+    scene = as_jax(scene)
     lights = scene.lights
     lt = lights.ltype[lidx]
     emission = lights.emission[lidx]
@@ -158,6 +161,8 @@ def light_sample(scene: sc.SceneData, lidx, pos, u2):
 def light_pdf_wi(scene: sc.SceneData, lidx, pos, wi):
     """Light::pdf(pos, wi) for MIS (ref: shape/mod.rs:67-75 pdf_wrt via
     re-intersection; delta lights return 0)."""
+    from arendur_tpu.geometry.vec import as_jax
+    scene = as_jax(scene)
     lights = scene.lights
     lt = lights.ltype[lidx]
     n = pos.shape[0]
@@ -222,6 +227,8 @@ def evaluate_direct(scene: sc.SceneData, hit: sc.Hit, bsdf: sl.BsdfSlots,
     """MIS direct lighting for one sampled light per lane
     (ref: scene.rs:83-167).  Returns radiance [N,3] (caller divides by
     the light-selection pdf)."""
+    from arendur_tpu.geometry.vec import as_jax
+    scene = as_jax(scene)
     n = wo.shape[0]
     ret = jnp.zeros((n, 3), jnp.float32)
 

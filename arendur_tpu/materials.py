@@ -56,8 +56,8 @@ def make_material_table(rows) -> MaterialTable:
     """rows: list of dicts with keys mtype, kd, ks, sigma, roughness,
     eta, dissolve (+ optional *_tex ids)."""
     def col(key, default, dt=np.float32):
-        return jnp.asarray(np.asarray(
-            [r.get(key, default) for r in rows], dt))
+        # NumPy leaves: baked as jit constants (see scene.py note)
+        return np.asarray([r.get(key, default) for r in rows], dt)
     return MaterialTable(
         mtype=col("mtype", M_MATTE, np.int32),
         kd=col("kd", (0.0, 0.0, 0.0)),
@@ -81,6 +81,8 @@ def compute_scattering(table: MaterialTable, mat_id, ns, ng, dpdu,
     With `textures` (texturing milestone), kd/ks/sigma are overridden
     by image-texture lookups at `uv` where *_tex >= 0.
     """
+    from arendur_tpu.geometry.vec import as_jax
+    table = as_jax(table)
     n = mat_id.shape[0]
     mtype = table.mtype[mat_id]
     kd = table.kd[mat_id]

@@ -63,6 +63,8 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
     pixel_xy: [N,2] integer pixel coords (float); pixel_id/sample_id:
     [N] int32 for the stateless sampler.
     """
+    from arendur_tpu.geometry.vec import as_jax
+    scene = as_jax(scene)
     keys = smp.ray_keys(base_key, pixel_id, sample_id)
     jitter = smp.stratified_film_sample(
         keys, sample_id, config.sample_dx, config.sample_dy, dim=0)

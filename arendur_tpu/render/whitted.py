@@ -25,6 +25,8 @@ from arendur_tpu.filming import camera as cam
 def whitted_wave(scene: sc.SceneData, camera: cam.CameraData, config,
                  pixel_xy, pixel_id, sample_id, base_key):
     """Trace one wave, Whitted shading.  Returns (pfilm, L)."""
+    from arendur_tpu.geometry.vec import as_jax
+    scene = as_jax(scene)
     keys = smp.ray_keys(base_key, pixel_id, sample_id)
     jitter = smp.stratified_film_sample(
         keys, sample_id, config.sample_dx, config.sample_dy, dim=0)

@@ -37,12 +37,13 @@ def build_distribution_1d(func) -> Distribution1D:
     else:
         cdf = cdf / func_int
     return Distribution1D(
-        func=jnp.asarray(f), cdf=jnp.asarray(cdf),
-        func_int=jnp.asarray(func_int, jnp.float32))
+        func=f, cdf=cdf, func_int=np.float32(func_int))
 
 
 def sample_discrete(dist: Distribution1D, u):
     """Sample an index; returns (idx, pdf) (ref: distribution.rs:99-118)."""
+    import jax
+    dist = jax.tree_util.tree_map(jnp.asarray, dist)
     idx = jnp.clip(
         jnp.searchsorted(dist.cdf, u, side="right") - 1, 0, dist.n - 1)
     n = dist.func.shape[0]
@@ -56,6 +57,8 @@ def sample_discrete(dist: Distribution1D, u):
 def sample_continuous(dist: Distribution1D, u):
     """Sample x in [0,1); returns (x, pdf, idx)
     (ref: distribution.rs:61-96)."""
+    import jax
+    dist = jax.tree_util.tree_map(jnp.asarray, dist)
     idx = jnp.clip(
         jnp.searchsorted(dist.cdf, u, side="right") - 1, 0, dist.n - 1)
     c0 = jnp.take(dist.cdf, idx)
@@ -70,6 +73,8 @@ def sample_continuous(dist: Distribution1D, u):
 
 
 def discrete_pdf(dist: Distribution1D, idx):
+    import jax
+    dist = jax.tree_util.tree_map(jnp.asarray, dist)
     n = dist.func.shape[0]
     return jnp.where(
         dist.func_int > 0.0,

@@ -23,6 +23,7 @@ from arendur_tpu.materials import MaterialTable, make_material_table
 from arendur_tpu.sampling.distribution import (
     Distribution1D, build_distribution_1d)
 from arendur_tpu.accel import bvh as bvhmod
+from arendur_tpu.shapes import mxu_intersect as mxi
 
 # light types
 L_AREA_SPHERE = 0
@@ -64,6 +65,7 @@ class SceneData:
     lights: LightTable
     light_distribution: Distribution1D
     bvh: Optional[bvhmod.BVH] = None
+    tri_mxu_w: Optional[jnp.ndarray] = None  # [C,16,4*chunk] MXU weights
 
     @property
     def n_tris(self):
@@ -221,7 +223,11 @@ class SceneBuilder:
             return lum * np.pi * wr * wr
         return lum
 
-    def build(self, use_bvh: bool = False) -> SceneData:
+    def build(self, use_bvh: bool = False,
+              intersector: str = "mxu") -> SceneData:
+        """intersector: "mxu" (MXU matmul path, TPU default) or
+        "naive" (VPU watertight wavefront); use_bvh adds a BVH used
+        when tri_mxu_w is absent."""
         cat = lambda lst, d: (np.concatenate(lst, 0) if lst
                               else np.zeros((0,) + d, np.float32))
         v0 = cat(self.tv0, (3,))
@@ -257,17 +263,21 @@ class SceneBuilder:
             smat.append(row["mat_id"])
             slight.append(row["light_id"])
             sphere_areas.append(pm * r * (zx - zn))
+        # NOTE: scene leaves stay as NumPy arrays so jit closures bake
+        # them into the executable as constants — a single upload at
+        # compile time instead of dozens of small device transfers
+        # (which are seconds each through the axon tunnel).
         spheres = sph.SphereSoA(
-            o2w=jnp.asarray(np.stack(so2w)),
-            w2o=jnp.asarray(np.stack(sw2o)),
-            radius=jnp.asarray(np.asarray(srad, np.float32)),
-            zmin=jnp.asarray(np.asarray(szmin, np.float32)),
-            zmax=jnp.asarray(np.asarray(szmax, np.float32)),
-            thetamin=jnp.asarray(np.asarray(stmin, np.float32)),
-            thetamax=jnp.asarray(np.asarray(stmax, np.float32)),
-            phimax=jnp.asarray(np.asarray(sphim, np.float32)),
-            mat_id=jnp.asarray(np.asarray(smat, np.int32)),
-            light_id=jnp.asarray(np.asarray(slight, np.int32)))
+            o2w=np.stack(so2w),
+            w2o=np.stack(sw2o),
+            radius=np.asarray(srad, np.float32),
+            zmin=np.asarray(szmin, np.float32),
+            zmax=np.asarray(szmax, np.float32),
+            thetamin=np.asarray(stmin, np.float32),
+            thetamax=np.asarray(stmax, np.float32),
+            phimax=np.asarray(sphim, np.float32),
+            mat_id=np.asarray(smat, np.int32),
+            light_id=np.asarray(slight, np.int32))
 
         # lights
         nl = max(1, len(self.light_rows))
@@ -287,9 +297,8 @@ class SceneBuilder:
             lpar[i] = row.get("params", (0, 0, 0, 0))
             powers[i] = self._light_power(row, tri_areas, sphere_areas)
         lights = LightTable(
-            ltype=jnp.asarray(lt), prim=jnp.asarray(lprim),
-            emission=jnp.asarray(lem), pos=jnp.asarray(lpos),
-            aux=jnp.asarray(laux), params=jnp.asarray(lpar))
+            ltype=lt, prim=lprim, emission=lem, pos=lpos,
+            aux=laux, params=lpar)
 
         if not self.material_rows:
             self.material_rows.append(dict(mtype=0, kd=(0.5, 0.5, 0.5)))
@@ -300,18 +309,23 @@ class SceneBuilder:
         bvh = None
         if use_bvh and len(v0) > 0:
             bvh = bvhmod.build_bvh(v0, v1, v2)
+        mxu_w = None
+        if intersector == "mxu" and len(v0) > 0:
+            chunk = min(mxi.DEFAULT_CHUNK, max(
+                128, 1 << int(np.ceil(np.log2(max(len(v0), 1))))))
+            mxu_w = mxi.pack_chunks(v0, v1, v2, chunk=chunk)
         return SceneData(
             bvh=bvh,
-            tri_v0=jnp.asarray(v0), tri_v1=jnp.asarray(v1),
-            tri_v2=jnp.asarray(v2),
-            tri_n0=jnp.asarray(catf(self.tn0, (3,))),
-            tri_n1=jnp.asarray(catf(self.tn1, (3,))),
-            tri_n2=jnp.asarray(catf(self.tn2, (3,))),
-            tri_uv0=jnp.asarray(catf(self.tuv0, (2,))),
-            tri_uv1=jnp.asarray(catf(self.tuv1, (2,))),
-            tri_uv2=jnp.asarray(catf(self.tuv2, (2,))),
-            tri_mat=jnp.asarray(catf(self.tmat, (), np.int32)),
-            tri_light=jnp.asarray(catf(self.tlight, (), np.int32)),
+            tri_mxu_w=mxu_w,
+            tri_v0=v0, tri_v1=v1, tri_v2=v2,
+            tri_n0=catf(self.tn0, (3,)),
+            tri_n1=catf(self.tn1, (3,)),
+            tri_n2=catf(self.tn2, (3,)),
+            tri_uv0=catf(self.tuv0, (2,)),
+            tri_uv1=catf(self.tuv1, (2,)),
+            tri_uv2=catf(self.tuv2, (2,)),
+            tri_mat=catf(self.tmat, (), np.int32),
+            tri_light=catf(self.tlight, (), np.int32),
             spheres=spheres,
             materials=make_material_table(self.material_rows),
             lights=lights,
@@ -330,11 +344,17 @@ def intersect(scene: SceneData, o, d, tmax=None) -> Hit:
     """Closest-hit of N rays against the whole scene, with full
     shading info (the wavefront Composable::intersect_ray +
     SurfaceInteraction construction)."""
+    from arendur_tpu.geometry.vec import as_jax
+    scene = as_jax(scene)
     n = o.shape[0]
     if tmax is None:
         tmax = jnp.full((n,), jnp.inf, jnp.float32)
 
-    if scene.bvh is not None:
+    if scene.tri_mxu_w is not None:
+        chunk = scene.tri_mxu_w.shape[-1] // 4
+        t_tri, tri_idx, b0, b1 = mxi.intersect_mxu(
+            scene.tri_mxu_w, o, d, tmax, scene.n_tris, chunk=chunk)
+    elif scene.bvh is not None:
         t_tri, tri_idx, b0, b1 = bvhmod.intersect_bvh(
             scene.bvh, scene.tri_v0, scene.tri_v1, scene.tri_v2,
             o, d, tmax)
@@ -414,7 +434,13 @@ def intersect(scene: SceneData, o, d, tmax=None) -> Hit:
 
 def occluded(scene: SceneData, o, d, tmax) -> jnp.ndarray:
     """Any-hit query for shadow rays."""
-    if scene.bvh is not None:
+    from arendur_tpu.geometry.vec import as_jax
+    scene = as_jax(scene)
+    if scene.tri_mxu_w is not None:
+        chunk = scene.tri_mxu_w.shape[-1] // 4
+        blocked_t = mxi.occluded_mxu(
+            scene.tri_mxu_w, o, d, tmax, scene.n_tris, chunk=chunk)
+    elif scene.bvh is not None:
         t_tri, tri_idx, _, _ = bvhmod.intersect_bvh(
             scene.bvh, scene.tri_v0, scene.tri_v1, scene.tri_v2,
             o, d, tmax)

@@ -120,6 +120,8 @@ def _local_duv(p, radius, thetamin, thetamax, phimax):
 
 
 def intersect_spheres(spheres: SphereSoA, o, d, tmax):
+    import jax as _jax
+    spheres = _jax.tree_util.tree_map(jnp.asarray, spheres)
     """N rays vs all S spheres -> closest hit.
 
     Returns dict with hit mask, t, sphere index, world position,
@@ -152,6 +154,8 @@ def intersect_spheres(spheres: SphereSoA, o, d, tmax):
 
 
 def sphere_hit_info(spheres: SphereSoA, s_idx, p_local):
+    import jax as _jax
+    spheres = _jax.tree_util.tree_map(jnp.asarray, spheres)
     """Shading info for sphere hits: world pos, ng(=ns), uv, dpdu, pos_err."""
     o2w = spheres.o2w[s_idx]
     radius = spheres.radius[s_idx]
@@ -170,6 +174,8 @@ def sphere_hit_info(spheres: SphereSoA, s_idx, p_local):
 
 def sample_sphere_local(spheres: SphereSoA, s_idx, u2,
                         theta_uniform: bool = None):
+    import jax as _jax
+    spheres = _jax.tree_util.tree_map(jnp.asarray, spheres)
     """Area sampling in the sphere's local frame (ref: sphere.rs:304-317).
 
     Returns (p_local, n_local, pdf_area) with pdf = 1/surface_area
