@@ -86,7 +86,8 @@ def perspective_matrix(fov, znear, zfar, dtype=jnp.float32):
          [0.0, 0.0, -f * n / (f - n), 0.0]], dtype=np.float32)
     inv_tan = 1.0 / np.tan(0.5 * float(fov))
     scale = np.diag(np.array([inv_tan, inv_tan, 1.0, 1.0], dtype=np.float32))
-    return jnp.asarray(persp @ scale, dtype)
+    # host-side NumPy: camera construction must not touch the device
+    return (persp @ scale).astype(np.float32)
 
 
 def look_at(eye, to, up):
@@ -105,4 +106,4 @@ def look_at(eye, to, up):
          [s[2], u[2], fwd[2], 0.0],
          [-eye @ s, -eye @ u, -eye @ fwd, 1.0]], dtype=np.float32)
     # row i of the array above is already cgmath column i, i.e. our storage layout
-    return jnp.asarray(m)
+    return m

@@ -45,6 +45,8 @@ class RenderConfig:
     seed: int = 0
     wave_size: int = 1 << 16    # rays per wavefront launch
     textures: Optional[object] = None
+    sampler: str = "strata"     # "strata" | "sobol"
+    sobol_table: Optional[object] = None  # [spp, D] uint32 (host-built)
     unroll_bounces: bool = False  # True: unrolled python loop (bigger
                                   # HLO, potentially more fusion);
                                   # False: lax.scan over bounces
@@ -65,11 +67,13 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
     """
     from arendur_tpu.geometry.vec import as_jax
     scene = as_jax(scene)
-    keys = smp.ray_keys(base_key, pixel_id, sample_id)
-    jitter = smp.stratified_film_sample(
-        keys, sample_id, config.sample_dx, config.sample_dy, dim=0)
-    pfilm = pixel_xy + jitter
-    plens = smp.uniform_2d(keys, 2)
+    ws = smp.WaveSampler(base_key, pixel_id, sample_id,
+                         kind=config.sampler,
+                         sobol_table=config.sobol_table,
+                         sample_dx=config.sample_dx,
+                         sample_dy=config.sample_dy)
+    pfilm = pixel_xy + ws.film_jitter()
+    plens = ws.u2(2)
     o, d = cam.generate_rays(camera, pfilm, plens)
 
     n = o.shape[0]
@@ -104,15 +108,15 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         # (ref: pt.rs:85-91; note FresnelBxdf *does* match because its
         # kind includes R|T bits)
         do_nee = lane_active & (sl.match_count(bsdf, ALL_NON_SPECULAR) > 0)
-        u_sel = smp.uniform_1d(keys, dim0 + smp.DIM_LIGHT_SELECT)
-        u_light = smp.uniform_2d(keys, dim0 + smp.DIM_LIGHT_U)
-        u_scatter = smp.uniform_2d(keys, dim0 + smp.DIM_SCATTER_U)
+        u_sel = ws.u1(dim0 + smp.DIM_LIGHT_SELECT)
+        u_light = ws.u2(dim0 + smp.DIM_LIGHT_U)
+        u_scatter = ws.u2(dim0 + smp.DIM_SCATTER_U)
         direct = nee.uniform_sample_one_light(
             scene, hit, bsdf, wo, u_sel, u_light, u_scatter)
         L = L + jnp.where(do_nee[..., None], beta * direct, 0.0)
 
         # (4) bsdf sample for path continuation (ref: pt.rs:92-103)
-        u_bsdf = smp.uniform_2d(keys, dim0 + smp.DIM_BSDF_U)
+        u_bsdf = ws.u2(dim0 + smp.DIM_BSDF_U)
         f, wi, pdf, kind = sl.bsdf_sample(bsdf, wo, u_bsdf, ALL)
         cont = lane_active & ~spec.is_black(f) & (pdf > 0.0)
         specular = jnp.where(lane_active, (kind & SPECULAR) != 0,
@@ -134,7 +138,7 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         # (5) russian roulette (ref: pt.rs:117-122)
         lum = spec.luminance(beta)
         q = max(config.rr_threshold, 0.05)
-        u_rr = smp.uniform_1d(keys, dim0 + smp.DIM_RR)
+        u_rr = ws.u1(dim0 + smp.DIM_RR)
         rr_active = (bounce + 1) >= config.min_depth
         roulette = rr_active & (lum < config.rr_threshold)
         killed = roulette & (u_rr < q)

@@ -73,3 +73,44 @@ DIM_RR = 7
 
 def bounce_dim(bounce: int, offset: int) -> int:
     return BOUNCE_DIM_BASE + bounce * DIMS_PER_BOUNCE + offset
+
+
+class WaveSampler:
+    """Per-wave sample-stream facade over the stateless backends.
+
+    kind "strata": stratified film dims + independent threefry uniforms
+    (the reference's StrataSampler in distribution).
+    kind "sobol": XOR-scrambled Sobol across all dimensions
+    (capability extension; benchmark config 4).
+    """
+
+    def __init__(self, base_key, pixel_id, sample_id, kind="strata",
+                 sobol_table=None, sample_dx=4, sample_dy=4):
+        self.kind = kind
+        self.base_key = base_key
+        self.pixel_id = pixel_id
+        self.sample_id = sample_id
+        self.keys = ray_keys(base_key, pixel_id, sample_id)
+        self.sobol_table = sobol_table
+        self.dx = sample_dx
+        self.dy = sample_dy
+
+    def u1(self, dim):
+        if self.kind == "sobol":
+            from arendur_tpu.sampling.sobol import sobol_uniform
+            return sobol_uniform(self.sobol_table, self.base_key,
+                                 self.pixel_id, self.sample_id, dim)
+        return uniform_1d(self.keys, dim)
+
+    def u2(self, dim):
+        if self.kind == "sobol":
+            from arendur_tpu.sampling.sobol import sobol_uniform_2d
+            return sobol_uniform_2d(self.sobol_table, self.base_key,
+                                    self.pixel_id, self.sample_id, dim)
+        return uniform_2d(self.keys, dim)
+
+    def film_jitter(self):
+        if self.kind == "sobol":
+            return self.u2(0)
+        return stratified_film_sample(
+            self.keys, self.sample_id, self.dx, self.dy, dim=0)

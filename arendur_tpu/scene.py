@@ -203,10 +203,10 @@ class SceneBuilder:
         """Power for the light-selection distribution
         (ref: scene.rs:36-44; area power = mean*area*pi,
         component/shape.rs:160-167)."""
-        from arendur_tpu import spectrum as spec
+        # pure-NumPy luminance: scene parse must not touch the device
         e = np.asarray(row["emission"], np.float32)
-        lum = float(np.asarray(
-            spec.luminance(jnp.asarray(e[None]))[0]))
+        lum = float(e @ np.asarray([0.212671, 0.715160, 0.072169],
+                                   np.float32))
         lt = row["ltype"]
         if lt == L_AREA_SPHERE:
             return lum * sphere_areas[row["prim"]] * np.pi

@@ -2,35 +2,41 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: camera paths traced per second (full PT with NEE+MIS; each
-path costs up to max_depth x 3 ray queries).  The reference publishes
-no numbers (BASELINE.md), so vs_baseline is the ratio against a fixed
-reference throughput constant measured from this repo's own first CPU
-run of the same workload (BASELINE.md: "the first measured baseline
-will be produced by this repo itself").
+Metric: camera paths traced per second (full PT, NEE+MIS, depth 8;
+each path costs up to 3 ray queries per bounce).  The reference
+publishes no numbers (BASELINE.md), so vs_baseline is the ratio
+against a fixed anchor constant so the ratio is comparable across
+rounds (BASELINE.md: "the first measured baseline will be produced by
+this repo itself").
+
+Robustness: the axon-tunnel remote compile nondeterministically kills
+the client process, so the measurement runs in a child process with
+retries; a persistent jax compilation cache makes retries cheap once
+a compile has succeeded.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
-
-# Reference anchor: arendur (rayon, release build) traces the Cornell
-# box at roughly this many camera paths/s/core on a modern x86 core;
-# scaled to an 8-core workstation.  Used only to make vs_baseline a
-# stable, comparable ratio across rounds until a measured arendur run
-# replaces it.
 BASELINE_PATHS_PER_S = 2.0e6
-
 REPO = os.path.dirname(os.path.abspath(__file__))
-sys.path.insert(0, REPO)
+MARK = "BENCH_RESULT "
 
 
-def main():
+def inner():
+    sys.path.insert(0, REPO)
     import dataclasses
+    import numpy as np
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/arendur_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from arendur_tpu.io import scenedesc
     from arendur_tpu.render import integrator as integ
@@ -39,13 +45,11 @@ def main():
 
     res = (256, 256)
     spp = 16
-    max_depth = 8
     scene, camera, film_cfg, config, _ = scenedesc.parse_scene(
         os.path.join(REPO, "examples/cornellbox/cb.json"),
         spp_override=spp, resolution_override=res)
     wave = 1 << 16
-    config = dataclasses.replace(
-        config, max_depth=max_depth, wave_size=wave)
+    config = dataclasses.replace(config, max_depth=8, wave_size=wave)
 
     w, h = film_cfg.resolution
     base_key = smp.make_base_key(0)
@@ -65,9 +69,8 @@ def main():
                               mask=ray_idx < total)
 
     state = flm.film_init(film_cfg)
-    # warmup / compile
     idx0 = jnp.arange(wave, dtype=jnp.int32)
-    state = run_wave(state, idx0)
+    state = run_wave(state, idx0)           # warmup/compile
     jax.block_until_ready(state)
 
     n_waves = (total + wave - 1) // wave
@@ -82,14 +85,45 @@ def main():
 
     img = np.asarray(flm.film_finalize(state, film_cfg))
     assert np.isfinite(img).all(), "render produced non-finite pixels"
+    assert img.max() > 0.01, "render is black"
 
-    print(json.dumps({
+    print(MARK + json.dumps({
         "metric": "cornell_pt_paths_per_s",
         "value": round(float(paths_per_s), 2),
         "unit": "paths/s (256x256, 16spp, depth8, NEE+MIS)",
         "vs_baseline": round(float(paths_per_s / BASELINE_PATHS_PER_S), 4),
+    }), flush=True)
+
+
+def main():
+    attempts = 5
+    for i in range(attempts):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            capture_output=True, text=True, timeout=2100)
+        for line in (proc.stdout or "").splitlines():
+            if line.startswith(MARK):
+                print(line[len(MARK):])
+                return 0
+        sys.stderr.write(
+            f"[bench] attempt {i + 1}/{attempts} failed "
+            f"(rc={proc.returncode}); retrying\n")
+        tail = (proc.stderr or "").strip().splitlines()[-3:]
+        for t in tail:
+            sys.stderr.write("[bench]   " + t + "\n")
+        time.sleep(10)
+    # all attempts failed: emit a zero measurement rather than nothing
+    print(json.dumps({
+        "metric": "cornell_pt_paths_per_s",
+        "value": 0.0,
+        "unit": "paths/s (256x256, 16spp, depth8, NEE+MIS)",
+        "vs_baseline": 0.0,
     }))
+    return 1
 
 
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        inner()
+    else:
+        sys.exit(main())
