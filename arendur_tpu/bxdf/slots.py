@@ -501,3 +501,39 @@ def bsdf_sample(b: BsdfSlots, wow, u, types: int = ALL):
     pdf_out = jnp.where(dead, 0.0, pdf_out)
     skind = jnp.where(dead, 0, skind)
     return f_out, wiw, pdf_out, skind
+
+
+def rho_hd(b: BsdfSlots, wow, samples, types: int = ALL):
+    """Monte-Carlo hemispherical-directional albedo
+    (ref: bxdf/mod.rs:87-99): rho ~= mean f(wo, wi)|cos wi| / pdf over
+    sampled wi.  samples: [S, N, 2]."""
+    n = wow.shape[0]
+    acc = jnp.zeros((n, 3), jnp.float32)
+    for s in range(samples.shape[0]):
+        f, wiw, pdf, _ = bsdf_sample(b, wow, samples[s], types)
+        wi = normalize(_to_local(b, wiw))
+        term = f * (jnp.abs(frame.cos_theta(wi))
+                    / jnp.maximum(pdf, 1e-20))[..., None]
+        acc = acc + jnp.where((pdf > 0.0)[..., None], term, 0.0)
+    return acc / samples.shape[0]
+
+
+def rho_hh(b: BsdfSlots, samples1, samples2, types: int = ALL):
+    """Monte-Carlo hemispherical-hemispherical albedo
+    (ref: bxdf/mod.rs:101-116): uniform wo x sampled wi.
+    samples1/samples2: [S, N, 2]."""
+    from arendur_tpu.sampling.warps import (
+        sample_uniform_hemisphere, pdf_uniform_hemisphere)
+    n = samples1.shape[1]
+    acc = jnp.zeros((n, 3), jnp.float32)
+    for s in range(samples1.shape[0]):
+        wo = sample_uniform_hemisphere(samples1[s])
+        wow = _to_world(b, wo)
+        f, wiw, pdf, _ = bsdf_sample(b, wow, samples2[s], types)
+        wi = normalize(_to_local(b, wiw))
+        term = f * (jnp.abs(frame.cos_theta(wi))
+                    * jnp.abs(frame.cos_theta(wo))
+                    / jnp.maximum(pdf * pdf_uniform_hemisphere(),
+                                  1e-20))[..., None]
+        acc = acc + jnp.where((pdf > 0.0)[..., None], term, 0.0)
+    return acc / (PI * samples1.shape[0])

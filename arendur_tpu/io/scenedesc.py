@@ -46,6 +46,8 @@ def _const_rgb_texture(desc) -> Optional[Tuple[float, float, float]]:
         return None
     if "Constant" in desc:
         return _rgb(desc["Constant"]["value"])
+    if "Image" in desc:
+        return None  # resolved separately via _image_texture
     raise NotImplementedError(
         f"texture desc {list(desc.keys())} not yet supported")
 
@@ -55,8 +57,23 @@ def _const_gray_texture(desc, default=0.0) -> float:
         return default
     if "Constant" in desc:
         return float(desc["Constant"]["value"])
+    if "Image" in desc:
+        return default
     raise NotImplementedError(
         f"texture desc {list(desc.keys())} not yet supported")
+
+
+def _image_texture(desc, texctx) -> int:
+    """Resolve an {"Image": {"path", "gamma"?, "wrap"?}} texture desc
+    to an atlas id; -1 when the desc isn't an image."""
+    if desc is None or "Image" not in desc or texctx is None:
+        return -1
+    from arendur_tpu.io.objloader import texture_id_for
+    body = desc["Image"]
+    return texture_id_for(
+        texctx["builder"].atlas, texctx["builder"].tex_cache,
+        texctx["base"], body.get("path", body.get("filename", "")),
+        gamma=bool(body.get("gamma", True)))
 
 
 class _Named:
@@ -73,35 +90,44 @@ class _Named:
         return self.values.get(name)
 
 
-def _material_row(desc) -> dict:
+def _material_row(desc, texctx=None) -> dict:
+    def rgb_chan(named, default=(0, 0, 0)):
+        """(constant rgb, texture id) for a named texture slot."""
+        d = named.get("value")
+        tid = _image_texture(d, texctx)
+        if tid >= 0:
+            return (1.0, 1.0, 1.0), tid
+        return _const_rgb_texture(d) or default, -1
+
     (kind, body), = desc.items()
     if kind == "Matte":
-        kd_named = body["kd"]
-        sigma_named = body["sigma"]
+        kd, kd_tex = rgb_chan(body["kd"])
         return dict(
-            mtype=mats.M_MATTE,
-            kd=_const_rgb_texture(kd_named.get("value")) or (0, 0, 0),
-            sigma=_const_gray_texture(sigma_named.get("value"), 0.0))
+            mtype=mats.M_MATTE, kd=kd, kd_tex=kd_tex,
+            sigma=_const_gray_texture(body["sigma"].get("value"), 0.0))
     if kind == "Plastic":
+        kd, kd_tex = rgb_chan(body["diffuse"])
+        ks, ks_tex = rgb_chan(body["specular"])
         return dict(
-            mtype=mats.M_PLASTIC,
-            kd=_const_rgb_texture(body["diffuse"].get("value")) or (0, 0, 0),
-            ks=_const_rgb_texture(body["specular"].get("value")) or (0, 0, 0),
+            mtype=mats.M_PLASTIC, kd=kd, kd_tex=kd_tex,
+            ks=ks, ks_tex=ks_tex,
             roughness=_const_gray_texture(
                 body["roughness"].get("value"), 0.5))
     if kind == "Glass":
+        kd, kd_tex = rgb_chan(body["diffuse"])
+        ks, ks_tex = rgb_chan(body["specular"])
         return dict(
-            mtype=mats.M_GLASS,
-            kd=_const_rgb_texture(body["diffuse"].get("value")) or (0, 0, 0),
-            ks=_const_rgb_texture(body["specular"].get("value")) or (0, 0, 0),
+            mtype=mats.M_GLASS, kd=kd, kd_tex=kd_tex,
+            ks=ks, ks_tex=ks_tex,
             roughness=_const_gray_texture(
                 body["roughness"].get("value"), 0.0),
             eta=float(body.get("eta", 1.5)))
     if kind == "Translucent":
+        kd, kd_tex = rgb_chan(body["diffuse"])
+        ks, ks_tex = rgb_chan(body["specular"])
         return dict(
-            mtype=mats.M_TRANSLUCENT,
-            kd=_const_rgb_texture(body["diffuse"].get("value")) or (0, 0, 0),
-            ks=_const_rgb_texture(body["specular"].get("value")) or (0, 0, 0),
+            mtype=mats.M_TRANSLUCENT, kd=kd, kd_tex=kd_tex,
+            ks=ks, ks_tex=ks_tex,
             roughness=_const_gray_texture(
                 body["roughness"].get("value"), 0.5),
             dissolve=float(body.get("dissolve", 1.0)))
@@ -115,6 +141,7 @@ def parse_scene(path: str, spp_override: Optional[int] = None,
     base = os.path.dirname(os.path.abspath(path))
 
     builder = sc.SceneBuilder()
+    texctx = dict(builder=builder, base=base)
     named_mats = _Named()
     mat_ids: Dict[str, int] = {}
     named_lights = _Named()
@@ -160,7 +187,8 @@ def parse_scene(path: str, spp_override: Optional[int] = None,
             mat_named = body["material"]
             mname = mat_named["name"]
             if mat_named.get("value") is not None or mname not in mat_ids:
-                row = named_mats.resolve(mat_named, _material_row)
+                row = named_mats.resolve(
+                    mat_named, lambda v: _material_row(v, texctx))
                 if mname not in mat_ids:
                     mat_ids[mname] = builder.add_material(**row)
             mat_id = mat_ids[mname]
@@ -228,6 +256,8 @@ def parse_scene(path: str, spp_override: Optional[int] = None,
         dy = max(1, spp // dx)
     config = RenderConfig(
         max_depth=int(desc.get("max_depth", 8)),
-        spp=spp, sample_dx=dx, sample_dy=dy)
+        spp=spp, sample_dx=dx, sample_dy=dy,
+        textures=builder.build_textures(),
+        tex_filter=str(desc.get("tex_filter", "trilinear")))
     return scene, camera, film_cfg, config, desc.get(
         "outputfilename", "out.png")

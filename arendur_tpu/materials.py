@@ -73,13 +73,56 @@ def make_material_table(rows) -> MaterialTable:
     )
 
 
+def apply_bump(textures, bump_tex, uv, ns, ng, dpdu, dpdv,
+               duvdx=None, duvdy=None):
+    """Bump mapping (ref: material/mod.rs:42-86): finite-difference
+    displacement along u and v shifts the shading frame.
+
+    Returns (ns', dpdu').  The reference shifts the interaction by
+    half the screen-space uv footprint; lanes without differentials
+    use its 0.0005 fallback."""
+    import jax.numpy as jnp
+    from arendur_tpu.texturing import texture as tx
+    from arendur_tpu.geometry.vec import cross, dot, normalize
+    if textures is None:
+        return ns, dpdu
+    if duvdx is not None:
+        du = 0.5 * (jnp.abs(duvdx[..., 0]) + jnp.abs(duvdy[..., 0]))
+        dv = 0.5 * (jnp.abs(duvdx[..., 1]) + jnp.abs(duvdy[..., 1]))
+        du = jnp.where(du == 0.0, 5e-4, du)
+        dv = jnp.where(dv == 0.0, 5e-4, dv)
+    else:
+        du = jnp.full(uv.shape[:-1], 5e-4, jnp.float32)
+        dv = du
+    disp = tx.eval_gray(textures, bump_tex, uv, jnp.zeros_like(du))
+    disp_u = tx.eval_gray(
+        textures, bump_tex,
+        uv + jnp.stack([du, jnp.zeros_like(du)], -1), jnp.zeros_like(du))
+    disp_v = tx.eval_gray(
+        textures, bump_tex,
+        uv + jnp.stack([jnp.zeros_like(dv), dv], -1), jnp.zeros_like(dv))
+    ddu = (disp_u - disp) / du
+    ddv = (disp_v - disp) / dv
+    dpdu_b = dpdu + ddu[..., None] * ns
+    dpdv_b = dpdv + ddv[..., None] * ns
+    ns_b = normalize(cross(dpdu_b, dpdv_b))
+    # keep the bumped normal in the original shading hemisphere
+    ns_b = jnp.where(dot(ns_b, ns, keepdims=True) < 0.0, -ns_b, ns_b)
+    has_bump = (bump_tex >= 0)[..., None]
+    return (jnp.where(has_bump, ns_b, ns),
+            jnp.where(has_bump, dpdu_b, dpdu))
+
+
 def compute_scattering(table: MaterialTable, mat_id, ns, ng, dpdu,
-                       uv=None, textures=None) -> BsdfSlots:
+                       uv=None, textures=None, dpdv=None,
+                       duvdx=None, duvdy=None,
+                       tex_filter: str = "trilinear") -> BsdfSlots:
     """Build the BSDF slot table for N hits.
 
     mat_id [N] int32; ns/ng/dpdu [N,3] world-space shading data.
     With `textures` (texturing milestone), kd/ks/sigma are overridden
-    by image-texture lookups at `uv` where *_tex >= 0.
+    by image-texture lookups at `uv` where *_tex >= 0; duvdx/duvdy
+    [N,2] drive mipmap LOD (trilinear) or EWA anisotropic filtering.
     """
     from arendur_tpu.geometry.vec import as_jax
     table = as_jax(table)
@@ -94,8 +137,24 @@ def compute_scattering(table: MaterialTable, mat_id, ns, ng, dpdu,
 
     if textures is not None and uv is not None:
         from arendur_tpu.texturing import texture as tx
-        kd = tx.eval_rgb(textures, table.kd_tex[mat_id], uv, kd)
-        ks = tx.eval_rgb(textures, table.ks_tex[mat_id], uv, ks)
+        kd = tx.eval_rgb(textures, table.kd_tex[mat_id], uv, kd,
+                         duvdx=duvdx, duvdy=duvdy, filter=tex_filter)
+        ks = tx.eval_rgb(textures, table.ks_tex[mat_id], uv, ks,
+                         duvdx=duvdx, duvdy=duvdy, filter=tex_filter)
+        # skip the lookup entirely when no material in the scene uses
+        # one (host-checkable: table leaves stay NumPy by design)
+        def any_tex(col):
+            try:
+                return bool(np.any(np.asarray(col) >= 0))
+            except Exception:   # traced leaf: can't tell, do the work
+                return True
+        if any_tex(table.sigma_tex):
+            sigma = tx.eval_gray(textures, table.sigma_tex[mat_id], uv,
+                                 sigma, duvdx=duvdx, duvdy=duvdy)
+        if dpdv is not None and any_tex(table.bump_tex):
+            ns, dpdu = apply_bump(
+                textures, table.bump_tex[mat_id], uv, ns, ng, dpdu,
+                dpdv, duvdx=duvdx, duvdy=duvdy)
 
     alpha = mf.roughness_to_alpha(roughness)
     sigma_c = jnp.clip(sigma, 0.0, 90.0)

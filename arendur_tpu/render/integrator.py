@@ -45,6 +45,7 @@ class RenderConfig:
     seed: int = 0
     wave_size: int = 1 << 16    # rays per wavefront launch
     textures: Optional[object] = None
+    tex_filter: str = "trilinear"   # "trilinear" | "ewa"
     sampler: str = "strata"     # "strata" | "sobol"
     sobol_table: Optional[object] = None  # [spp, D] uint32 (host-built)
     unroll_bounces: bool = False  # True: unrolled python loop (bigger
@@ -74,7 +75,19 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
                          sample_dy=config.sample_dy)
     pfilm = pixel_xy + ws.film_jitter()
     plens = ws.u2(2)
-    o, d = cam.generate_rays(camera, pfilm, plens)
+    if config.textures is not None:
+        # ray-cone texture LOD: angular spread from the camera's x/y
+        # differential rays, scaled by 1/sqrt(spp) like the reference's
+        # scale_differentials (pt.rs:142)
+        from arendur_tpu.geometry.vec import length
+        from arendur_tpu.geometry import dxy as dxymod
+        o, d, rxd, ryd = cam.generate_ray_differentials(
+            camera, pfilm, plens)
+        spread = jnp.maximum(length(rxd - d), length(ryd - d))
+        spread = spread / jnp.sqrt(jnp.float32(max(config.spp, 1)))
+    else:
+        o, d = cam.generate_rays(camera, pfilm, plens)
+        spread = None
 
     n = o.shape[0]
     # tie the carries to the (possibly mesh-varying) ray arrays so the
@@ -84,7 +97,7 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
     alive = o[:, 0] == o[:, 0]
     specular = o[:, 0] != o[:, 0]
 
-    def bounce_step(bounce, o, d, L, beta, alive, specular):
+    def bounce_step(bounce, o, d, L, beta, alive, specular, cone_w):
         """One path-tracing bounce; `bounce` may be a traced scalar."""
         dim0 = smp.BOUNCE_DIM_BASE + bounce * smp.DIMS_PER_BOUNCE
         hit = sc.intersect(scene, o, d)
@@ -101,9 +114,19 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
 
         # (3) scattering + NEE
         wo = -d
+        if spread is not None:
+            from arendur_tpu.geometry import dxy as dxymod
+            ft = jnp.where(hit.hit, hit.t, 0.0)
+            r_cone = cone_w + spread * ft
+            duvdx, duvdy = dxymod.cone_duv(
+                r_cone, d, hit.ng, hit.dpdu, hit.dpdv)
+            cone_w = jnp.where(hit.hit, r_cone, cone_w)
+        else:
+            duvdx = duvdy = None
         bsdf = mats.compute_scattering(
             scene.materials, hit.mat_id, hit.ns, hit.ng, hit.dpdu,
-            uv=hit.uv, textures=config.textures)
+            uv=hit.uv, textures=config.textures, dpdv=hit.dpdv,
+            duvdx=duvdx, duvdy=duvdy, tex_filter=config.tex_filter)
         # NEE runs when any slot matches non-specular tags
         # (ref: pt.rs:85-91; note FresnelBxdf *does* match because its
         # kind includes R|T bits)
@@ -145,18 +168,19 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         beta = jnp.where((roulette & ~killed)[..., None],
                          beta / (1.0 - q), beta)
         alive = alive & ~killed & ((bounce + 1) < config.max_depth)
-        return o, d, L, beta, alive, specular
+        return o, d, L, beta, alive, specular, cone_w
 
+    cone_w = jnp.zeros((n,), jnp.float32) + o[:, 0] * 0.0
     if config.unroll_bounces:
         for bounce in range(config.max_depth):
-            o, d, L, beta, alive, specular = bounce_step(
-                bounce, o, d, L, beta, alive, specular)
+            o, d, L, beta, alive, specular, cone_w = bounce_step(
+                bounce, o, d, L, beta, alive, specular, cone_w)
     else:
         def scan_body(carry, bounce):
             return bounce_step(bounce, *carry), None
 
-        (o, d, L, beta, alive, specular), _ = jax.lax.scan(
-            scan_body, (o, d, L, beta, alive, specular),
+        (o, d, L, beta, alive, specular, cone_w), _ = jax.lax.scan(
+            scan_body, (o, d, L, beta, alive, specular, cone_w),
             jnp.arange(config.max_depth, dtype=jnp.int32))
 
     # invalid radiance becomes black, as the renderer does before

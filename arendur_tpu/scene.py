@@ -84,6 +84,7 @@ class Hit:
     ng: jnp.ndarray        # [N,3] geometric normal
     ns: jnp.ndarray        # [N,3] shading normal
     dpdu: jnp.ndarray      # [N,3]
+    dpdv: jnp.ndarray      # [N,3]
     uv: jnp.ndarray        # [N,2]
     mat_id: jnp.ndarray    # [N] int32
     light_id: jnp.ndarray  # [N] int32 (-1 if not emissive)
@@ -108,6 +109,13 @@ class SceneBuilder:
         self.sphere_rows = []
         self.material_rows = []
         self.light_rows = []
+        from arendur_tpu.texturing.texture import AtlasBuilder
+        self.atlas = AtlasBuilder()   # image textures (obj/JSON maps)
+        self.tex_cache = {}           # (path, gamma) -> texture id
+
+    def build_textures(self):
+        """Freeze the image-texture atlas (None if no textures)."""
+        return self.atlas.build()
 
     def add_material(self, **kw) -> int:
         self.material_rows.append(kw)
@@ -398,7 +406,7 @@ def intersect(scene: SceneData, o, d, tmax=None) -> Hit:
 
     # --- sphere shading info ---
     s_idx = jnp.maximum(sp["sphere_idx"], 0)
-    pos_s, ng_s, uv_s, dpdu_s, perr_s = sph.sphere_hit_info(
+    pos_s, ng_s, uv_s, dpdu_s, dpdv_s, perr_s = sph.sphere_hit_info(
         scene.spheres, s_idx, sp["p_local"])
     mat_s = scene.spheres.mat_id[s_idx]
     light_s = scene.spheres.light_id[s_idx]
@@ -425,6 +433,7 @@ def intersect(scene: SceneData, o, d, tmax=None) -> Hit:
         ng=jnp.where(hm, pick3(ng_s, ng_tri), zaxis),
         ns=jnp.where(hm, pick3(ng_s, ns_tri), zaxis),
         dpdu=jnp.where(hm, pick3(dpdu_s, dpdu_tri), xaxis),
+        dpdv=jnp.where(hm, pick3(dpdv_s, dpdv_tri), cross(zaxis, xaxis)),
         uv=jnp.where(hm, pick3(uv_s, uv_tri), 0.0),
         mat_id=jnp.where(any_hit, pick1(mat_s, mat_tri), 0).astype(
             jnp.int32),

@@ -169,7 +169,7 @@ def sphere_hit_info(spheres: SphereSoA, s_idx, p_local):
     # the reference leaves pos_err = 0 for spheres ("FIXME: wrong",
     # sphere.rs:281-282); we use a conservative bound instead.
     pos_err = jnp.abs(pos) * (5.0 * 2.0 ** -24)
-    return pos, ng, uv, dpdu, pos_err
+    return pos, ng, uv, dpdu, dpdv, pos_err
 
 
 def sample_sphere_local(spheres: SphereSoA, s_idx, u2,

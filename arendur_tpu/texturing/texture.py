@@ -8,9 +8,14 @@ Device side: all textures of a scene are packed into one flat atlas
 array; lookups gather by texture id with Repeat/Clamp/Black wrap modes
 (image.rs:601-609) and optional gamma decode (image.rs:621-627).
 
-Round-1 filtering is bilinear at level 0 with optional trilinear
-level blending driven by a caller-provided lod; EWA anisotropic
-filtering (image.rs:448-532) is tracked for a later milestone.
+Filtering: bilinear at level 0, trilinear with a lod derived from the
+screen-space uv footprint (image.rs:411-446), and EWA anisotropic
+filtering (image.rs:448-532) with the reference's 128-entry Gaussian
+falloff and max-anisotropy clamp.  The reference's EWA visits a
+data-dependent texel box per lane; the TPU version samples the
+ellipse on a fixed TAPS x TAPS grid over its bounding box (static
+shapes for XLA), which converges to the same integral and bounds the
+gather count.
 """
 
 from __future__ import annotations
@@ -160,29 +165,154 @@ def _bilinear(atlas, tex_id, level, u, v):
             + (1 - fx) * fy * c01 + fx * fy * c11)
 
 
-def sample_texture(atlas: TextureAtlas, tex_id, uv, lod=None):
-    """Batched lookup: tex_id [N] int32, uv [N,2].  Optional lod [N]
-    enables trilinear level interpolation."""
+def _trilinear(atlas, tex_id, lod, su, sv):
+    max_level = atlas.n_levels[tex_id] - 1
+    l = jnp.clip(lod, 0.0, max_level.astype(jnp.float32))
+    l0 = jnp.floor(l).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, max_level)
+    f = (l - l0.astype(jnp.float32))[..., None]
+    return ((1 - f) * _bilinear(atlas, tex_id, l0, su, sv)
+            + f * _bilinear(atlas, tex_id, l1, su, sv))
+
+
+EWA_TAPS = 4          # fixed tap grid per level (static for XLA)
+MAX_ANISO = 8.0       # ref: image.rs max_aniso clamp
+_EWA_ALPHA = 2.0      # gaussian falloff exponent (image.rs:629-641)
+
+
+def _ewa_level(atlas, tex_id, level, su, sv, d0, d1):
+    """EWA filter at one level (ref: image.rs:489-532).  d0/d1: [N,2]
+    uv gradient vectors (d0 = major axis)."""
+    w = atlas.width[tex_id, level].astype(jnp.float32)
+    h = atlas.height[tex_id, level].astype(jnp.float32)
+    # texel-space point and gradients (continuous coords)
+    px = su * w - 0.5
+    py = sv * h - 0.5
+    d0x = d0[..., 0] * w
+    d0y = d0[..., 1] * h
+    d1x = d1[..., 0] * w
+    d1y = d1[..., 1] * h
+    # ellipse coefficients (image.rs:493-503)
+    A = d0y * d0y + d1y * d1y + 1.0
+    B = -2.0 * (d0x * d0y + d1x * d1y)
+    C = d0x * d0x + d1x * d1x + 1.0
+    invF = 1.0 / jnp.maximum(A * C - B * B * 0.25, 1e-12)
+    A = A * invF
+    B = B * invF
+    C = C * invF
+    # bounding box (image.rs:505-512)
+    det = jnp.maximum(-B * B + 4.0 * A * C, 1e-12)
+    inv_det = 1.0 / det
+    usq = jnp.sqrt(jnp.maximum(det * C * inv_det * inv_det, 0.0))
+    vsq = jnp.sqrt(jnp.maximum(A * det * inv_det * inv_det, 0.0))
+    x0 = px - usq
+    x1 = px + usq
+    y0 = py - vsq
+    y1 = py + vsq
+    # fixed tap grid over the bbox
+    t = (jnp.arange(EWA_TAPS, dtype=jnp.float32) + 0.5) / EWA_TAPS
+    acc = jnp.zeros(su.shape + (3,), jnp.float32)
+    wsum = jnp.zeros_like(su)
+    for iy in range(EWA_TAPS):
+        ty = y0 + (y1 - y0) * t[iy]
+        for ix in range(EWA_TAPS):
+            tx = x0 + (x1 - x0) * t[ix]
+            dx = tx - px
+            dy = ty - py
+            r2 = A * dx * dx + B * dx * dy + C * dy * dy
+            # gaussian falloff, zero outside the ellipse
+            wgt = jnp.where(
+                r2 < 1.0,
+                jnp.exp(-_EWA_ALPHA * r2) - float(np.exp(-_EWA_ALPHA)),
+                0.0)
+            texel = _fetch_level(
+                atlas, tex_id, level,
+                jnp.round(tx).astype(jnp.int32),
+                jnp.round(ty).astype(jnp.int32))
+            acc = acc + wgt[..., None] * texel
+            wsum = wsum + wgt
+    good = wsum > 1e-8
+    out = acc / jnp.maximum(wsum, 1e-8)[..., None]
+    # degenerate ellipse -> bilinear fallback
+    fb = _bilinear(atlas, tex_id, level, su, sv)
+    return jnp.where(good[..., None], out, fb)
+
+
+def _ewa(atlas, tex_id, su, sv, duvdx, duvdy):
+    """Anisotropic lookup (ref: image.rs:448-487): pick major/minor
+    axes, clamp anisotropy, blend EWA at two levels."""
+    sc = atlas.uv_scale[tex_id]
+    d0 = duvdx * sc
+    d1 = duvdy * sc
+    len0 = jnp.sqrt(jnp.sum(d0 * d0, -1))
+    len1 = jnp.sqrt(jnp.sum(d1 * d1, -1))
+    swap = len0 < len1
+    major = jnp.where(swap[..., None], d1, d0)
+    minor_v = jnp.where(swap[..., None], d0, d1)
+    major_l = jnp.maximum(len0, len1)
+    minor_l = jnp.minimum(len0, len1)
+    # clamp anisotropy (image.rs:472-479)
+    need = (minor_l * MAX_ANISO < major_l) & (minor_l > 0.0)
+    scale_f = jnp.where(need, major_l / (minor_l * MAX_ANISO + 1e-20), 1.0)
+    minor_v = minor_v * scale_f[..., None]
+    minor_l = minor_l * scale_f
+    n_levels = atlas.n_levels[tex_id].astype(jnp.float32)
+    # lod from the minor axis length (image.rs:481-487)
+    lod = jnp.maximum(0.0, jnp.log2(jnp.maximum(minor_l, 1e-8))
+                      + n_levels - 1.0)
+    max_level = atlas.n_levels[tex_id] - 1
+    lod = jnp.clip(lod, 0.0, max_level.astype(jnp.float32))
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, max_level)
+    f = (lod - l0.astype(jnp.float32))[..., None]
+    return ((1 - f) * _ewa_level(atlas, tex_id, l0, su, sv, major, minor_v)
+            + f * _ewa_level(atlas, tex_id, l1, su, sv, major, minor_v))
+
+
+def sample_texture(atlas: TextureAtlas, tex_id, uv, lod=None,
+                   duvdx=None, duvdy=None, filter: str = "trilinear"):
+    """Batched lookup: tex_id [N] int32, uv [N,2].
+
+    lod [N] enables trilinear level interpolation directly; duvdx/duvdy
+    [N,2] screen-space uv derivatives derive the lod (trilinear) or
+    drive the full anisotropic filter (filter="ewa")."""
     su = uv[..., 0] * atlas.uv_scale[tex_id, 0] + atlas.uv_shift[tex_id, 0]
     sv = uv[..., 1] * atlas.uv_scale[tex_id, 1] + atlas.uv_shift[tex_id, 1]
-    if lod is None:
+    if duvdx is not None and filter == "ewa":
+        out = _ewa(atlas, tex_id, su, sv, duvdx, duvdy)
+    elif duvdx is not None:
+        # isotropic width = 2 * max |derivative| (image.rs:411-420)
+        sc = atlas.uv_scale[tex_id]
+        width = 2.0 * jnp.maximum(
+            jnp.max(jnp.abs(duvdx * sc), -1),
+            jnp.max(jnp.abs(duvdy * sc), -1))
+        n_levels = atlas.n_levels[tex_id].astype(jnp.float32)
+        lod_w = n_levels - 1.0 + jnp.log2(jnp.maximum(width, 1e-8))
+        out = _trilinear(atlas, tex_id, jnp.maximum(lod_w, 0.0), su, sv)
+    elif lod is None:
         out = _bilinear(atlas, tex_id, jnp.zeros_like(tex_id), su, sv)
     else:
-        max_level = atlas.n_levels[tex_id] - 1
-        l = jnp.clip(lod, 0.0, max_level.astype(jnp.float32))
-        l0 = jnp.floor(l).astype(jnp.int32)
-        l1 = jnp.minimum(l0 + 1, max_level)
-        f = (l - l0.astype(jnp.float32))[..., None]
-        out = ((1 - f) * _bilinear(atlas, tex_id, l0, su, sv)
-               + f * _bilinear(atlas, tex_id, l1, su, sv))
+        out = _trilinear(atlas, tex_id, lod, su, sv)
     return out * atlas.scale[tex_id][..., None]
 
 
-def eval_rgb(atlas: Optional[TextureAtlas], tex_id, uv, fallback):
+def eval_rgb(atlas: Optional[TextureAtlas], tex_id, uv, fallback,
+             duvdx=None, duvdy=None, filter: str = "trilinear"):
     """Material-table helper: image lookup where tex_id >= 0, else the
     constant fallback color [N,3]."""
     if atlas is None:
         return fallback
     safe_id = jnp.maximum(tex_id, 0)
-    tex = sample_texture(atlas, safe_id, uv)
+    tex = sample_texture(atlas, safe_id, uv, duvdx=duvdx, duvdy=duvdy,
+                         filter=filter)
     return jnp.where((tex_id >= 0)[..., None], tex, fallback)
+
+
+def eval_gray(atlas: Optional[TextureAtlas], tex_id, uv, fallback,
+              duvdx=None, duvdy=None):
+    """Scalar lookup (mean of rgb) with constant fallback [N]."""
+    if atlas is None:
+        return fallback
+    safe_id = jnp.maximum(tex_id, 0)
+    tex = sample_texture(atlas, safe_id, uv, duvdx=duvdx, duvdy=duvdy)
+    return jnp.where(tex_id >= 0, jnp.mean(tex, -1), fallback)

@@ -120,3 +120,60 @@ class TestSampler:
         # each of the 16 strata is hit exactly once
         cells = set(zip((p[:, 0] * 4).astype(int), (p[:, 1] * 4).astype(int)))
         assert len(cells) == 16
+
+
+class TestDistribution2D:
+    def test_sampling_matches_density(self):
+        from arendur_tpu.sampling import distribution as dist
+        rng = np.random.default_rng(3)
+        f = np.asarray([[1.0, 0.0, 3.0, 0.0],
+                        [0.0, 2.0, 0.0, 2.0],
+                        [4.0, 0.0, 0.0, 0.0]], np.float32)
+        d = dist.build_distribution_2d(f)
+        u = jnp.asarray(rng.random((20000, 2)), jnp.float32)
+        xy, pdf = dist.sample_continuous_2d(d, u)
+        xy = np.asarray(xy)
+        pdf = np.asarray(pdf)
+        assert (pdf > 0).all()
+        # empirical cell frequencies track f / integral
+        xi = np.clip((xy[:, 0] * 4).astype(int), 0, 3)
+        yi = np.clip((xy[:, 1] * 3).astype(int), 0, 2)
+        counts = np.zeros_like(f)
+        np.add.at(counts, (yi, xi), 1.0)
+        expect = f / f.sum()
+        got = counts / counts.sum()
+        np.testing.assert_allclose(got, expect, atol=0.02)
+        # pdf_2d agrees with the sampling pdf
+        p2 = np.asarray(dist.pdf_2d(d, jnp.asarray(xy)))
+        np.testing.assert_allclose(p2, pdf, rtol=1e-4)
+
+    def test_zero_rows_uniform(self):
+        from arendur_tpu.sampling import distribution as dist
+        d = dist.build_distribution_2d(np.zeros((2, 2), np.float32))
+        u = jnp.asarray([[0.3, 0.7]], jnp.float32)
+        xy, pdf = dist.sample_continuous_2d(d, u)
+        assert np.isfinite(np.asarray(xy)).all()
+
+
+class TestRho:
+    def test_lambertian_rho_equals_reflectance(self):
+        from arendur_tpu import materials as mats
+        from arendur_tpu.bxdf import slots as sl
+        rng = np.random.default_rng(5)
+        n = 8
+        table = mats.make_material_table(
+            [dict(mtype=mats.M_MATTE, kd=(0.25, 0.5, 0.75))])
+        ns = jnp.asarray([[0.0, 0.0, 1.0]] * n, jnp.float32)
+        dpdu = jnp.asarray([[1.0, 0.0, 0.0]] * n, jnp.float32)
+        b = mats.compute_scattering(
+            table, jnp.zeros((n,), jnp.int32), ns, ns, dpdu)
+        wow = jnp.asarray([[0.3, 0.1, 0.9]] * n, jnp.float32)
+        s = jnp.asarray(rng.random((64, n, 2)), jnp.float32)
+        rho = np.asarray(sl.rho_hd(b, wow, s))
+        np.testing.assert_allclose(rho.mean(0), [0.25, 0.5, 0.75],
+                                   atol=0.02)
+        s1 = jnp.asarray(rng.random((64, n, 2)), jnp.float32)
+        s2 = jnp.asarray(rng.random((64, n, 2)), jnp.float32)
+        rho_hh = np.asarray(sl.rho_hh(b, s1, s2))
+        np.testing.assert_allclose(rho_hh.mean(0), [0.25, 0.5, 0.75],
+                                   atol=0.05)

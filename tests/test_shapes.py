@@ -133,7 +133,7 @@ class TestSphere:
         res = sph.intersect_spheres(s, o, d, jnp.asarray([np.inf], jnp.float32))
         assert bool(res["hit"][0])
         np.testing.assert_allclose(float(res["t"][0]), 4.0, rtol=1e-5)
-        pos, ng, uv, dpdu, perr = sph.sphere_hit_info(
+        pos, ng, uv, dpdu, _dpdv, perr = sph.sphere_hit_info(
             s, res["sphere_idx"], res["p_local"])
         np.testing.assert_allclose(
             np.asarray(pos)[0], [0, 0, 4.0], atol=1e-5)
@@ -183,7 +183,7 @@ class TestSphere:
             jnp.full((n,), np.inf, jnp.float32))
         hits = np.asarray(res["hit"])
         assert hits.sum() > 0
-        pos, ng, uv, dpdu, _ = sph.sphere_hit_info(
+        pos, ng, uv, dpdu, _dpdv, _ = sph.sphere_hit_info(
             s, res["sphere_idx"], res["p_local"])
         ng = np.asarray(ng)[hits]
         wo = -d[hits]

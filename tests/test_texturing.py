@@ -85,3 +85,138 @@ class TestAtlas:
             atlas, jnp.asarray([tid], jnp.int32),
             jnp.asarray([[0.5, 0.5]], jnp.float32)))[0]
         np.testing.assert_allclose(out, 0.2140, atol=1e-3)
+
+
+class TestFootprint:
+    """Ray-differential uv footprints (geometry/dxy.py) and the
+    derivative-driven filters (ref: interaction.rs:204-325,
+    image.rs:411-532)."""
+
+    def test_compute_dxy_axis_plane(self):
+        from arendur_tpu.geometry import dxy as dxymod
+        # camera at z=-1 looking +z at the z=0 plane; dpdu=+x, dpdv=+y.
+        pos = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+        ng = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+        dpdu = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+        dpdv = jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32)
+        ro = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+        # x-differential ray shifted so it hits (0.25, 0, 0)
+        rxd = jnp.asarray([[0.25, 0.0, 1.0]], jnp.float32)
+        ryd = jnp.asarray([[0.0, -0.5, 1.0]], jnp.float32)
+        info = dxymod.compute_dxy(pos, ng, dpdu, dpdv, ro, rxd, ro, ryd)
+        np.testing.assert_allclose(float(info.dudx[0]), 0.25, atol=1e-5)
+        np.testing.assert_allclose(float(info.dvdx[0]), 0.0, atol=1e-5)
+        np.testing.assert_allclose(float(info.dudy[0]), 0.0, atol=1e-5)
+        np.testing.assert_allclose(float(info.dvdy[0]), -0.5, atol=1e-5)
+
+    def test_cone_duv_grazing_anisotropy(self):
+        from arendur_tpu.geometry import dxy as dxymod
+        # oblique incidence on the z=0 plane: the projected-view-axis
+        # footprint must stretch by 1/cos(theta)
+        d = jnp.asarray([[0.0, -0.70710678, 0.70710678]], jnp.float32)
+        ng = jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32)
+        dpdu = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+        dpdv = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+        r = jnp.asarray([0.1], jnp.float32)
+        duvdx, duvdy = dxymod.cone_duv(r, d, ng, dpdu, dpdv)
+        lx = float(jnp.sqrt(jnp.sum(duvdx ** 2)))
+        ly = float(jnp.sqrt(jnp.sum(duvdy ** 2)))
+        np.testing.assert_allclose(max(lx, ly) / min(lx, ly), np.sqrt(2.0),
+                                   rtol=1e-3)
+        np.testing.assert_allclose(min(lx, ly), 0.1, rtol=1e-3)
+
+    def test_duv_lod_selects_coarse_level(self):
+        # a large footprint must average the checkerboard toward 0.5
+        b = tx.AtlasBuilder()
+        tid = b.add_image(checkerboard(64))
+        atlas = b.build()
+        ids = jnp.asarray([tid], jnp.int32)
+        # texel center (23.5, 26.5)/64: odd checker -> exactly 1.0
+        uv = jnp.asarray([[23.5 / 64, 26.5 / 64]], jnp.float32)
+        big = jnp.asarray([[0.5, 0.0]], jnp.float32)
+        zero = jnp.zeros((1, 2), jnp.float32)
+        wide = np.asarray(tx.sample_texture(
+            atlas, ids, uv, duvdx=big, duvdy=big[:, ::-1]))[0]
+        fine = np.asarray(tx.sample_texture(
+            atlas, ids, uv, duvdx=zero, duvdy=zero))[0]
+        np.testing.assert_allclose(wide, 0.5, atol=0.05)
+        assert abs(float(fine[0]) - 0.5) > 0.4  # sharp texel read
+
+    def test_ewa_matches_trilinear_on_constant(self):
+        b = tx.AtlasBuilder()
+        tid = b.add_image(np.full((16, 16, 3), 0.7, np.float32))
+        atlas = b.build()
+        ids = jnp.asarray([tid] * 3, jnp.int32)
+        uv = jnp.asarray([[0.2, 0.8], [0.5, 0.5], [0.9, 0.1]], jnp.float32)
+        dx = jnp.asarray([[0.1, 0.0]] * 3, jnp.float32)
+        dy = jnp.asarray([[0.0, 0.01]] * 3, jnp.float32)
+        ewa = np.asarray(tx.sample_texture(
+            atlas, ids, uv, duvdx=dx, duvdy=dy, filter="ewa"))
+        np.testing.assert_allclose(ewa, 0.7, atol=1e-3)
+
+    def test_ewa_anisotropic_sharper_than_trilinear(self):
+        # horizontal stripes + footprint wide in u only: EWA must stay
+        # sharp in v (stripe contrast) where trilinear blurs to 0.5
+        img = np.zeros((64, 64, 3), np.float32)
+        img[::2, :] = 1.0
+        b = tx.AtlasBuilder()
+        tid = b.add_image(img)
+        atlas = b.build()
+        ids = jnp.asarray([tid], jnp.int32)
+        uv = jnp.asarray([[0.5, 0.25 + 0.5 / 64]], jnp.float32)
+        # 7.5:1 anisotropy, inside the MAX_ANISO=8 clamp
+        dx = jnp.asarray([[0.03, 0.0]], jnp.float32)   # wide in u
+        dy = jnp.asarray([[0.0, 0.004]], jnp.float32)  # narrow in v
+        ewa = float(np.asarray(tx.sample_texture(
+            atlas, ids, uv, duvdx=dx, duvdy=dy, filter="ewa"))[0, 0])
+        tri = float(np.asarray(tx.sample_texture(
+            atlas, ids, uv, duvdx=dx, duvdy=dy))[0, 0])
+        assert abs(tri - 0.5) < 0.1   # isotropic lod washed out
+        assert ewa > 0.9              # EWA stays sharp across stripes
+
+
+class TestBump:
+    def test_bump_tilts_shading_normal(self):
+        from arendur_tpu import materials as mats
+        # linear ramp displacement d(u,v)=u tilts ns toward -dpdu
+        ramp = np.tile(np.linspace(0, 1, 64, dtype=np.float32)[None, :, None],
+                       (64, 1, 3))
+        b = tx.AtlasBuilder()
+        bid = b.add_image(ramp)
+        atlas = b.build()
+        n = 4
+        uv = jnp.asarray([[0.3, 0.5]] * n, jnp.float32)
+        ns = jnp.asarray([[0.0, 0.0, 1.0]] * n, jnp.float32)
+        dpdu = jnp.asarray([[1.0, 0.0, 0.0]] * n, jnp.float32)
+        dpdv = jnp.asarray([[0.0, 1.0, 0.0]] * n, jnp.float32)
+        bump_tex = jnp.asarray([bid, bid, -1, bid], jnp.int32)
+        ns2, dpdu2 = mats.apply_bump(atlas, bump_tex, uv, ns, ns, dpdu, dpdv)
+        ns2 = np.asarray(ns2)
+        assert ns2[0, 0] < -0.1          # tilted toward -x
+        assert ns2[0, 2] > 0.5           # still mostly +z
+        np.testing.assert_allclose(ns2[2], [0, 0, 1], atol=1e-6)  # no bump
+        np.testing.assert_allclose(
+            np.linalg.norm(ns2, axis=-1), 1.0, atol=1e-5)
+
+    def test_obj_loader_registers_textures(self, tmp_path):
+        from arendur_tpu.io import objloader
+        from arendur_tpu import scene as sc
+        from PIL import Image
+        img = (checkerboard(8) * 255).astype(np.uint8)
+        Image.fromarray(img).save(tmp_path / "diff.png")
+        (tmp_path / "m.mtl").write_text(
+            "newmtl tex\nKd 0.5 0.5 0.5\nmap_Kd diff.png\n")
+        (tmp_path / "q.obj").write_text(
+            "mtllib m.mtl\nv 0 0 0\nv 1 0 0\nv 1 1 0\n"
+            "vt 0 0\nvt 1 0\nvt 1 1\n"
+            "usemtl tex\nf 1/1 2/2 3/3\n")
+        b = sc.SceneBuilder()
+        objloader.load_obj_into(b, str(tmp_path / "q.obj"))
+        scene = b.build()
+        atlas = b.build_textures()
+        assert atlas is not None and atlas.count == 1
+        kd_tex = np.asarray(scene.materials.kd_tex)
+        assert (kd_tex >= 0).sum() == 1
+        # textured channel falls back to white constant
+        kd = np.asarray(scene.materials.kd)[kd_tex >= 0]
+        np.testing.assert_allclose(kd, 1.0, atol=1e-6)
