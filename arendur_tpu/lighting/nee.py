@@ -154,7 +154,11 @@ def light_sample(scene: sc.SceneData, lidx, pos, u2):
     radiance = pick(rad_s, rad_t, rad_p, rad_sp, rad_d)
     pdf = pick(pdf_s, pdf_t, pdf_p, pdf_p, pdf_d)
     wi = normalize(pfrom - pos)
-    return dict(radiance=radiance, pdf=pdf, pfrom=pfrom, wi=wi,
+    # light-surface normal at pfrom (area lights; BPT MIS needs it —
+    # delta/distant lanes fall back to -wi, unused through is_surface)
+    n_s_world = normalize(jax.vmap(tf.transform_vector)(o2w, ln_l))
+    nl = pick(n_s_world, ln_t if has_tris else -wi, -wi, -wi, -wi)
+    return dict(radiance=radiance, pdf=pdf, pfrom=pfrom, wi=wi, nl=nl,
                 delta=is_delta_light(scene, lidx))
 
 

@@ -25,6 +25,8 @@ from arendur_tpu.sampling.distribution import (
 from arendur_tpu.accel import bvh as bvhmod
 from arendur_tpu.shapes import mxu_intersect as mxi
 
+import os
+
 # light types
 L_AREA_SPHERE = 0
 L_AREA_TRI = 1
@@ -348,6 +350,21 @@ class SceneBuilder:
 _GAMMA7 = 7.0 * 2.0 ** -24 / (1.0 - 7.0 * 2.0 ** -24)
 
 
+def _use_pallas_intersect() -> bool:
+    """Use the fused Pallas closest/any-hit kernel on real TPU backends;
+    ARENDUR_INTERSECT=pallas|mxu forces a path (mxu = plain-XLA matmul,
+    used by CPU tests and the virtual-mesh dryrun)."""
+    forced = os.environ.get("ARENDUR_INTERSECT", "auto")
+    if forced == "pallas":
+        return True
+    if forced != "auto":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover - backend probing only
+        return False
+
+
 def intersect(scene: SceneData, o, d, tmax=None) -> Hit:
     """Closest-hit of N rays against the whole scene, with full
     shading info (the wavefront Composable::intersect_ray +
@@ -360,8 +377,13 @@ def intersect(scene: SceneData, o, d, tmax=None) -> Hit:
 
     if scene.tri_mxu_w is not None:
         chunk = scene.tri_mxu_w.shape[-1] // 4
-        t_tri, tri_idx, b0, b1 = mxi.intersect_mxu(
-            scene.tri_mxu_w, o, d, tmax, scene.n_tris, chunk=chunk)
+        if _use_pallas_intersect():
+            from arendur_tpu.shapes import pallas_intersect as pli
+            t_tri, tri_idx, b0, b1 = pli.intersect_pallas(
+                scene.tri_mxu_w, o, d, tmax, scene.n_tris, chunk=chunk)
+        else:
+            t_tri, tri_idx, b0, b1 = mxi.intersect_mxu(
+                scene.tri_mxu_w, o, d, tmax, scene.n_tris, chunk=chunk)
     elif scene.bvh is not None:
         t_tri, tri_idx, b0, b1 = bvhmod.intersect_bvh(
             scene.bvh, scene.tri_v0, scene.tri_v1, scene.tri_v2,
@@ -447,8 +469,13 @@ def occluded(scene: SceneData, o, d, tmax) -> jnp.ndarray:
     scene = as_jax(scene)
     if scene.tri_mxu_w is not None:
         chunk = scene.tri_mxu_w.shape[-1] // 4
-        blocked_t = mxi.occluded_mxu(
-            scene.tri_mxu_w, o, d, tmax, scene.n_tris, chunk=chunk)
+        if _use_pallas_intersect():
+            from arendur_tpu.shapes import pallas_intersect as pli
+            blocked_t = pli.occluded_pallas(
+                scene.tri_mxu_w, o, d, tmax, scene.n_tris, chunk=chunk)
+        else:
+            blocked_t = mxi.occluded_mxu(
+                scene.tri_mxu_w, o, d, tmax, scene.n_tris, chunk=chunk)
     elif scene.bvh is not None:
         t_tri, tri_idx, _, _ = bvhmod.intersect_bvh(
             scene.bvh, scene.tri_v0, scene.tri_v1, scene.tri_v2,

@@ -39,7 +39,8 @@ DEFAULT_CHUNK = 2048
 
 
 def build_tri_matrix(v0, v1, v2) -> np.ndarray:
-    """Precompute W [16, 4T]: columns (det, tdet, udet, vdet) per tri.
+    """Precompute W [16, 4T], interleaved (det, tdet, udet, vdet) per
+    tri (pack_chunks converts to the blocked per-chunk layout).
 
     Feature layout: F = [o0,o1,o2, d0,d1,d2, o0d0,o0d1,o0d2, o1d0,...,
     o2d2, 1].
@@ -109,8 +110,9 @@ def intersect_mxu(w_chunks, o, d, tmax, t_count: int,
                   chunk: int = DEFAULT_CHUNK):
     """Closest hit of N rays vs T triangles via chunked MXU matmuls.
 
-    w_chunks: [n_chunks, 16, 4*chunk] precomputed (pad with zero
-    columns -> det==0 -> rejected).  Returns (t, idx, b0, b1) with
+    w_chunks: [n_chunks, 16, 4*chunk] precomputed, blocked per chunk:
+    cols [0:C]=det, [C:2C]=tdet, [2C:3C]=udet, [3C:4C]=vdet (pad with
+    zero columns -> det==0 -> rejected).  Returns (t, idx, b0, b1) with
     b0 = 1-u-v, b1 = u (matching the watertight path's barycentric
     convention b0*v0 + b1*v1 + b2*v2 where u maps v1, v maps v2).
     """
@@ -130,11 +132,10 @@ def intersect_mxu(w_chunks, o, d, tmax, t_count: int,
         best_t, best_i, best_b0, best_b1 = carry
         w, base = inp
         quad = jnp.matmul(feats, w, precision=_HI)  # [N, 4*chunk]
-        quad = quad.reshape(n, chunk, 4)
-        det = quad[..., 0]
-        tdet = quad[..., 1]
-        udet = quad[..., 2]
-        vdet = quad[..., 3]
+        det = quad[:, 0 * chunk:1 * chunk]
+        tdet = quad[:, 1 * chunk:2 * chunk]
+        udet = quad[:, 2 * chunk:3 * chunk]
+        vdet = quad[:, 3 * chunk:4 * chunk]
         hit, t, u, v = _accept(det, tdet, udet, vdet, best_t)
         ids = base + jnp.arange(chunk, dtype=jnp.int32)
         valid = hit & (ids[None, :] < t_count)
@@ -163,9 +164,11 @@ def occluded_mxu(w_chunks, o, d, tmax, t_count: int,
 
     def body(blocked, inp):
         w, base = inp
-        quad = jnp.matmul(feats, w, precision=_HI).reshape(n, chunk, 4)
-        hit, t, u, v = _accept(quad[..., 0], quad[..., 1], quad[..., 2],
-                               quad[..., 3], tmax)
+        quad = jnp.matmul(feats, w, precision=_HI)
+        hit, t, u, v = _accept(
+            quad[:, 0 * chunk:1 * chunk], quad[:, 1 * chunk:2 * chunk],
+            quad[:, 2 * chunk:3 * chunk], quad[:, 3 * chunk:4 * chunk],
+            tmax)
         ids = base + jnp.arange(chunk, dtype=jnp.int32)
         return blocked | jnp.any(hit & (ids[None, :] < t_count), -1), None
 
@@ -175,7 +178,10 @@ def occluded_mxu(w_chunks, o, d, tmax, t_count: int,
 
 
 def pack_chunks(v0, v1, v2, chunk: int = DEFAULT_CHUNK):
-    """Precompute + chunk the weight matrix: [n_chunks, 16, 4*chunk]."""
+    """Precompute + chunk the weight matrix: [n_chunks, 16, 4*chunk],
+    blocked per chunk (cols [0:C]=det, [C:2C]=tdet, [2C:3C]=udet,
+    [3C:4C]=vdet) so kernels slice quantities with static column
+    ranges instead of a lane-dim reshape."""
     t = len(v0)
     w = build_tri_matrix(v0, v1, v2)
     pad_t = (-t) % chunk
@@ -183,5 +189,6 @@ def pack_chunks(v0, v1, v2, chunk: int = DEFAULT_CHUNK):
         w = np.concatenate(
             [w, np.zeros((16, 4 * pad_t), np.float32)], axis=1)
     n_chunks = (t + pad_t) // chunk
-    w = w.reshape(16, n_chunks, 4 * chunk).transpose(1, 0, 2)
-    return np.ascontiguousarray(w)
+    # [16, n_chunks, chunk, 4] -> [n_chunks, 16, 4(quantity), chunk]
+    w = w.reshape(16, n_chunks, chunk, 4).transpose(1, 0, 3, 2)
+    return np.ascontiguousarray(w.reshape(n_chunks, 16, 4 * chunk))
