@@ -44,8 +44,18 @@ class BVH:
         return self.bmin.shape[0]
 
 
-def build_bvh(v0, v1, v2, max_leaf: int = 4) -> BVH:
-    """Binned-SAH build on the host (NumPy)."""
+def build_bvh(v0, v1, v2, max_leaf: int = 4, native: bool = True) -> BVH:
+    """Binned-SAH build on the host.
+
+    Prefers the native C++ builder (arendur_tpu/native — the reference's
+    builder is likewise native, bvh.rs:246-316); falls back to the
+    bit-identical NumPy implementation below.
+    """
+    if native:
+        from arendur_tpu import native as nat
+        out = nat.build_bvh_native(v0, v1, v2, max_leaf)
+        if out is not None:
+            return BVH(**out)
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)

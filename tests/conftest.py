@@ -16,3 +16,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# The suite is compile-bound (2 host cores, 8 virtual devices): cache
+# compiled executables across runs so re-runs are cheap.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/arendur_jax_cache_tests")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
