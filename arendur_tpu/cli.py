@@ -29,7 +29,8 @@ def main(argv=None):
                     help="override resolution, e.g. 512x384")
     ap.add_argument("--depth", type=int, default=None,
                     help="override max path depth")
-    ap.add_argument("--renderer", choices=("pt", "whitted"), default="pt")
+    ap.add_argument("--renderer", choices=("pt", "whitted", "bpt"),
+                    default="pt")
     ap.add_argument("--bvh", action="store_true",
                     help="build a BVH over triangles (default: "
                          "brute-force wavefront intersector)")
@@ -71,6 +72,9 @@ def main(argv=None):
     t0 = time.time()
     if args.renderer == "pt":
         img = integ.render(scene, camera, film_cfg, config)
+    elif args.renderer == "bpt":
+        from arendur_tpu.render import bpt
+        img = bpt.render_bpt(scene, camera, film_cfg, config)
     else:
         img = _render_whitted(scene, camera, film_cfg, config)
     import numpy as np

@@ -40,29 +40,6 @@ def _rgb(obj) -> Tuple[float, float, float]:
     return tuple(float(x) for x in obj)
 
 
-def _const_rgb_texture(desc) -> Optional[Tuple[float, float, float]]:
-    """Extract a Constant RGB texture value from a texture desc."""
-    if desc is None:
-        return None
-    if "Constant" in desc:
-        return _rgb(desc["Constant"]["value"])
-    if "Image" in desc:
-        return None  # resolved separately via _image_texture
-    raise NotImplementedError(
-        f"texture desc {list(desc.keys())} not yet supported")
-
-
-def _const_gray_texture(desc, default=0.0) -> float:
-    if desc is None:
-        return default
-    if "Constant" in desc:
-        return float(desc["Constant"]["value"])
-    if "Image" in desc:
-        return default
-    raise NotImplementedError(
-        f"texture desc {list(desc.keys())} not yet supported")
-
-
 def _image_texture(desc, texctx) -> int:
     """Resolve an {"Image": {"path", "gamma"?, "wrap"?}} texture desc
     to an atlas id; -1 when the desc isn't an image."""
@@ -77,7 +54,8 @@ def _image_texture(desc, texctx) -> int:
 
 
 class _Named:
-    """Named<T> dedup helper (ref: arencli.rs:235-255)."""
+    """Named<T> dedup helper (ref: arencli.rs:235-255): a later desc
+    can reference an earlier one by name alone."""
 
     def __init__(self):
         self.values: Dict[str, object] = {}
@@ -90,37 +68,101 @@ class _Named:
         return self.values.get(name)
 
 
-def _material_row(desc, texctx=None) -> dict:
+class _TextureRegistry:
+    """Named RGB/gray texture resolution with Constant / Image / Product
+    descs (ref: arencli.rs RGBTextureDesc/GrayTextureDesc:376-440).
+
+    Resolves to (const_rgb, atlas_tex_id) pairs — the material table's
+    channel representation (tex_id -1 means 'use the constant')."""
+
+    def __init__(self, texctx):
+        self.texctx = texctx
+        self.rgb = _Named()
+        self.gray = _Named()
+
+    def _build_rgb(self, desc):
+        if "Constant" in desc:
+            return _rgb(desc["Constant"]["value"]), -1
+        if "Image" in desc:
+            return (1.0, 1.0, 1.0), _image_texture(desc, self.texctx)
+        if "Product" in desc:
+            body = desc["Product"]
+            ta = self.rgb.values.get(body["ta"])
+            tb = self.rgb.values.get(body["tb"])
+            if ta is None or tb is None:
+                # reference returns None (texture dropped) on unknown
+                # operands (arencli.rs:417-426); mirror as neutral white
+                return (1.0, 1.0, 1.0), -1
+            (ca, ia), (cb, ib) = ta, tb
+            if ia < 0 and ib < 0:
+                return tuple(a * b for a, b in zip(ca, cb)), -1
+            atlas = self.texctx["builder"].atlas
+            if ia >= 0 and ib >= 0:
+                return (1.0, 1.0, 1.0), atlas.add_product(ia, tb=ib)
+            img, const = (ia, cb) if ia >= 0 else (ib, ca)
+            if all(abs(c - 1.0) < 1e-9 for c in const):
+                return (1.0, 1.0, 1.0), img
+            return (1.0, 1.0, 1.0), atlas.add_product(img, const=const)
+        raise NotImplementedError(
+            f"texture desc {list(desc.keys())} not supported")
+
+    def resolve_rgb(self, named, default=(0.0, 0.0, 0.0)):
+        out = self.rgb.resolve(named, self._build_rgb)
+        return out if out is not None else (default, -1)
+
+    def _build_gray(self, desc):
+        if "Constant" in desc:
+            return float(desc["Constant"]["value"])
+        if "Image" in desc:
+            return None  # gray image channels keep their default
+        if "Product" in desc:
+            body = desc["Product"]
+            ta = self.gray.values.get(body["ta"])
+            tb = self.gray.values.get(body["tb"])
+            if ta is None or tb is None:
+                return None
+            return ta * tb
+        raise NotImplementedError(
+            f"texture desc {list(desc.keys())} not supported")
+
+    def resolve_gray(self, named, default=0.0):
+        if named is None:
+            return default
+        out = self.gray.resolve(named, self._build_gray)
+        return out if out is not None else default
+
+
+def _material_row(desc, texctx=None, textures: "_TextureRegistry" = None) \
+        -> dict:
+    if textures is None:
+        textures = _TextureRegistry(texctx)
+
     def rgb_chan(named, default=(0, 0, 0)):
         """(constant rgb, texture id) for a named texture slot."""
-        d = named.get("value")
-        tid = _image_texture(d, texctx)
-        if tid >= 0:
-            return (1.0, 1.0, 1.0), tid
-        return _const_rgb_texture(d) or default, -1
+        return textures.resolve_rgb(named, default)
+
+    gray_chan = textures.resolve_gray
 
     (kind, body), = desc.items()
     if kind == "Matte":
         kd, kd_tex = rgb_chan(body["kd"])
         return dict(
             mtype=mats.M_MATTE, kd=kd, kd_tex=kd_tex,
-            sigma=_const_gray_texture(body["sigma"].get("value"), 0.0))
+            sigma=gray_chan(body["sigma"], 0.0))
     if kind == "Plastic":
         kd, kd_tex = rgb_chan(body["diffuse"])
         ks, ks_tex = rgb_chan(body["specular"])
         return dict(
             mtype=mats.M_PLASTIC, kd=kd, kd_tex=kd_tex,
             ks=ks, ks_tex=ks_tex,
-            roughness=_const_gray_texture(
-                body["roughness"].get("value"), 0.5))
+            roughness=gray_chan(body["roughness"], 0.5))
     if kind == "Glass":
         kd, kd_tex = rgb_chan(body["diffuse"])
         ks, ks_tex = rgb_chan(body["specular"])
         return dict(
             mtype=mats.M_GLASS, kd=kd, kd_tex=kd_tex,
             ks=ks, ks_tex=ks_tex,
-            roughness=_const_gray_texture(
-                body["roughness"].get("value"), 0.0),
+            roughness=gray_chan(body["roughness"], 0.0),
             eta=float(body.get("eta", 1.5)))
     if kind == "Translucent":
         kd, kd_tex = rgb_chan(body["diffuse"])
@@ -128,8 +170,7 @@ def _material_row(desc, texctx=None) -> dict:
         return dict(
             mtype=mats.M_TRANSLUCENT, kd=kd, kd_tex=kd_tex,
             ks=ks, ks_tex=ks_tex,
-            roughness=_const_gray_texture(
-                body["roughness"].get("value"), 0.5),
+            roughness=gray_chan(body["roughness"], 0.5),
             dissolve=float(body.get("dissolve", 1.0)))
     raise ValueError(f"unknown material kind {kind}")
 
@@ -142,6 +183,7 @@ def parse_scene(path: str, spp_override: Optional[int] = None,
 
     builder = sc.SceneBuilder()
     texctx = dict(builder=builder, base=base)
+    tex_registry = _TextureRegistry(texctx)
     named_mats = _Named()
     mat_ids: Dict[str, int] = {}
     named_lights = _Named()
@@ -188,15 +230,21 @@ def parse_scene(path: str, spp_override: Optional[int] = None,
             mname = mat_named["name"]
             if mat_named.get("value") is not None or mname not in mat_ids:
                 row = named_mats.resolve(
-                    mat_named, lambda v: _material_row(v, texctx))
+                    mat_named,
+                    lambda v: _material_row(v, texctx, tex_registry))
                 if mname not in mat_ids:
                     mat_ids[mname] = builder.add_material(**row)
             mat_id = mat_ids[mname]
             light_named = body.get("light")
             emission = None
             if light_named is not None:
-                emission = named_lights.resolve(
-                    light_named, lambda v: _const_rgb_texture(v))
+                # emission profile; constant part only (image-texture
+                # emission resolves to white — area-light tables store
+                # a constant radiance)
+                resolved = named_lights.resolve(
+                    light_named,
+                    lambda v: tex_registry._build_rgb(v))
+                emission = resolved[0] if resolved is not None else None
             transform = _mat4(body.get("transform"))
             spec = dict(radius=float(sphere["radius"]),
                         zmin=float(sphere["zmin"]),

@@ -89,6 +89,30 @@ class AtlasBuilder:
                                 uv_scale=uv_scale, uv_shift=uv_shift))
         return len(self.images) - 1
 
+    def add_product(self, ta: int, tb=None, const=None) -> int:
+        """Product texture (ref: texturing/textures/mod.rs ProductTexture,
+        arencli.rs RGBTextureDesc::Product), baked host-side: the level-0
+        image of `ta` multiplied per-texel by `const` [3] and/or by
+        texture `tb` (bilinearly resampled to ta's resolution; both
+        factors are evaluated at the same uv in the reference, so the
+        pixel product is exact when resolutions match)."""
+        base = self.images[ta]["levels"][0]
+        out = np.array(base, np.float32)
+        if const is not None:
+            out = out * np.asarray(const, np.float32).reshape(1, 1, 3)
+        if tb is not None:
+            other = self.images[tb]["levels"][0]
+            h, w = out.shape[:2]
+            yi = np.minimum((np.arange(h) * other.shape[0]) // h,
+                            other.shape[0] - 1)
+            xi = np.minimum((np.arange(w) * other.shape[1]) // w,
+                            other.shape[1] - 1)
+            out = out * other[yi][:, xi]
+        im = self.images[ta]
+        return self.add_image(out, wrap=im["wrap"], scale=im["scale"],
+                              uv_scale=im["uv_scale"],
+                              uv_shift=im["uv_shift"])
+
     def build(self) -> Optional[TextureAtlas]:
         if not self.images:
             return None
