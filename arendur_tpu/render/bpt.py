@@ -350,10 +350,13 @@ def _eval_f(scene, config, v, toward_prev, toward_next,
 
 def trace_wave_bpt(scene: sc.SceneData, camera: cam.CameraData,
                    config, film_cfg, pixel_xy, pixel_id, sample_id,
-                   base_key):
+                   base_key, collect: Optional[dict] = None):
     """Trace one BPT wave.  Returns (pfilm [N,2], L [N,3],
     splat_praster [K*N,2], splat_L [K*N,3], splat_valid [K*N]) where
-    the splat arrays hold the t=1 light-tracing contributions."""
+    the splat arrays hold the t=1 light-tracing contributions.
+
+    collect: optional dict filled with per-strategy diagnostics
+    {(s,t): (contribution [N,3], mis_weight [N])} for tests/debugging."""
     from arendur_tpu.geometry.vec import as_jax
     scene = as_jax(scene)
     n = pixel_xy.shape[0]
