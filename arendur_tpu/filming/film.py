@@ -39,13 +39,20 @@ class FilmConfig:
 class FilmState:
     rgb: jnp.ndarray     # [H*W, 3] sum of filter-weighted radiance
     weight: jnp.ndarray  # [H*W] sum of filter weights
+    # [H*W, 3] additive splat plane for light-tracing (t=1) strategies:
+    # unlike camera samples these are *density* estimates over the film
+    # and must not enter the weighted average — they are summed and
+    # scaled by 1/spp at finalize (the reference accumulates them on
+    # separate full-frame tiles, film.rs:138-168).  None when unused.
+    splat: jnp.ndarray = None
 
 
-def film_init(config: FilmConfig) -> FilmState:
+def film_init(config: FilmConfig, with_splat: bool = False) -> FilmState:
     w, h = config.resolution
     return FilmState(
         rgb=jnp.zeros((h * w, 3), jnp.float32),
-        weight=jnp.zeros((h * w,), jnp.float32))
+        weight=jnp.zeros((h * w,), jnp.float32),
+        splat=(jnp.zeros((h * w, 3), jnp.float32) if with_splat else None))
 
 
 def film_splat(config: FilmConfig, state: FilmState, pfilm, radiance,
@@ -97,16 +104,42 @@ def film_splat(config: FilmConfig, state: FilmState, pfilm, radiance,
 
     rgb = state.rgb.at[flat_idx].add(contrib)
     weight = state.weight.at[flat_idx].add(wflat)
-    return FilmState(rgb=rgb, weight=weight)
+    return FilmState(rgb=rgb, weight=weight, splat=state.splat)
 
 
-def film_finalize(state: FilmState, config: FilmConfig):
+def film_add_splat(config: FilmConfig, state: FilmState, praster,
+                   radiance, mask=None) -> FilmState:
+    """Add N light-tracing splats (praster [N,2], radiance [N,3]) to
+    the additive splat plane (nearest pixel, crop-clipped).  These are
+    measurement-equation densities: they are summed, not averaged —
+    normalization is splat_scale (=1/spp) at finalize."""
+    w, h = config.resolution
+    (cx0, cy0), (cx1, cy1) = config.crop()
+    ix = jnp.floor(praster[:, 0]).astype(jnp.int32)
+    iy = jnp.floor(praster[:, 1]).astype(jnp.int32)
+    inside = (ix >= cx0) & (ix < cx1) & (iy >= cy0) & (iy < cy1)
+    if mask is not None:
+        inside = inside & mask
+    flat_idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+    contrib = jnp.where(inside[:, None], radiance, 0.0)
+    splat = state.splat
+    if splat is None:
+        splat = jnp.zeros((h * w, 3), jnp.float32)
+    return FilmState(rgb=state.rgb, weight=state.weight,
+                     splat=splat.at[flat_idx].add(contrib))
+
+
+def film_finalize(state: FilmState, config: FilmConfig,
+                  splat_scale: float = 0.0):
     """sum / weight per pixel, black where weight == 0
-    (ref: TilePixel::finalize, film.rs:338-345).  Returns [H, W, 3]."""
+    (ref: TilePixel::finalize, film.rs:338-345), plus
+    splat_scale * splat plane.  Returns [H, W, 3]."""
     w, h = config.resolution
     safe = jnp.where(state.weight > 0.0, state.weight, 1.0)
     img = jnp.where(
         (state.weight > 0.0)[:, None], state.rgb / safe[:, None], 0.0)
+    if state.splat is not None and splat_scale != 0.0:
+        img = img + splat_scale * state.splat
     return img.reshape(h, w, 3)
 
 

@@ -444,7 +444,10 @@ def trace_wave_bpt(scene: sc.SceneData, camera: cam.CameraData,
                 w = mis_weight(scene, config, camera, resolution,
                                cam_vs, light_vs, s, t,
                                jnp.maximum(pt["light_id"], 0))
-                L = L + jnp.where(_v3(is_light), c * _v3(w), 0.0)
+                contrib = jnp.where(_v3(is_light), c * _v3(w), 0.0)
+                if collect is not None:
+                    collect[(s, t)] = (contrib, w)
+                L = L + contrib
                 continue
             if s == 1:
                 # sample the light toward pt (NEE-like connection)
@@ -479,7 +482,10 @@ def trace_wave_bpt(scene: sc.SceneData, camera: cam.CameraData,
                 w = mis_weight(scene, config, camera, resolution,
                                cam_vs, light_vs, s, t, lidx,
                                sampled_light=samp)
-                L = L + spec.sanitize(c * _v3(w))
+                contrib = spec.sanitize(c * _v3(w))
+                if collect is not None:
+                    collect[(s, t)] = (contrib, w)
+                L = L + contrib
                 continue
             # s >= 2: surface-surface connection
             qs = light_vs[s - 1]
@@ -496,7 +502,10 @@ def trace_wave_bpt(scene: sc.SceneData, camera: cam.CameraData,
             c = jnp.where(_v3(active), c, 0.0)
             w = mis_weight(scene, config, camera, resolution,
                            cam_vs, light_vs, s, t, lidx)
-            L = L + spec.sanitize(c * _v3(w))
+            contrib = spec.sanitize(c * _v3(w))
+            if collect is not None:
+                collect[(s, t)] = (contrib, w)
+            L = L + contrib
 
     # ---- t == 1 strategies (light tracing, splatted) ---------------------
     for s in range(2, n_light + 2):
@@ -528,8 +537,11 @@ def trace_wave_bpt(scene: sc.SceneData, camera: cam.CameraData,
         samp_cam["pdf_fwd"] = jnp.ones((n,), jnp.float32)
         w = mis_weight(scene, config, camera, resolution, cam_vs,
                        light_vs, s, 1, lidx, sampled_cam=samp_cam)
+        contrib = spec.sanitize(c * _v3(w))
+        if collect is not None:
+            collect[(s, 1)] = (contrib, w)
         splat_praster.append(cs["praster"])
-        splat_L.append(spec.sanitize(c * _v3(w)))
+        splat_L.append(contrib)
         splat_valid.append(active & ~blocked)
 
     if splat_praster:
@@ -549,7 +561,7 @@ def render_bpt(scene: sc.SceneData, camera: cam.CameraData,
     w, h = film_cfg.resolution
     spp = config.spp
     base_key = smp.make_base_key(config.seed)
-    state = flm.film_init(film_cfg)
+    state = flm.film_init(film_cfg, with_splat=True)
     total = w * h * spp
     wave = min(config.wave_size, total)
 
@@ -569,11 +581,14 @@ def render_bpt(scene: sc.SceneData, camera: cam.CameraData,
         k = sp.shape[0] // max(pfilm.shape[0], 1)
         if k == 0:
             return state2
+        # t=1 light-tracing contributions are film-density estimates:
+        # accumulated additively and scaled by 1/spp at finalize
+        # (ref: flat-tile splats, bpt/mod.rs:85-86, film.rs:138-168).
         vmask = sv & jnp.tile(valid, k)
-        return flm.film_splat(film_cfg, state2, sp, sL, mask=vmask)
+        return flm.film_add_splat(film_cfg, state2, sp, sL, mask=vmask)
 
     n_waves = (total + wave - 1) // wave
     for i in range(n_waves):
         ray_idx = i * wave + jnp.arange(wave, dtype=jnp.int32)
         state = run_wave(state, ray_idx)
-    return flm.film_finalize(state, film_cfg)
+    return flm.film_finalize(state, film_cfg, splat_scale=1.0 / spp)
