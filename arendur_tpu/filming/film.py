@@ -45,14 +45,33 @@ class FilmState:
     # scaled by 1/spp at finalize (the reference accumulates them on
     # separate full-frame tiles, film.rs:138-168).  None when unused.
     splat: jnp.ndarray = None
+    # True when rgb/weight carry film_pad() rows of halo on both ends
+    # (flat layout) for the scatter-free pixel-major splat path.
+    padded: bool = struct.field(pytree_node=False, default=False)
 
 
-def film_init(config: FilmConfig, with_splat: bool = False) -> FilmState:
+def film_pad(config: FilmConfig) -> int:
+    """Tap halo (pixels per side) of the dense splat: a sample in pixel
+    (x, y) only reaches tap pixels within floor(r + 0.5) of it."""
+    (rx, ry), _ = filt.make_filter(config.filter)
+    return int(math.ceil(max(rx, ry) - 0.5))
+
+
+def _pad_flat(config: FilmConfig) -> int:
+    w, _ = config.resolution
+    p = film_pad(config)
+    return p * w + p
+
+
+def film_init(config: FilmConfig, with_splat: bool = False,
+              padded: bool = False) -> FilmState:
     w, h = config.resolution
+    n = h * w + (2 * _pad_flat(config) if padded else 0)
     return FilmState(
-        rgb=jnp.zeros((h * w, 3), jnp.float32),
-        weight=jnp.zeros((h * w,), jnp.float32),
-        splat=(jnp.zeros((h * w, 3), jnp.float32) if with_splat else None))
+        rgb=jnp.zeros((n, 3), jnp.float32),
+        weight=jnp.zeros((n,), jnp.float32),
+        splat=(jnp.zeros((h * w, 3), jnp.float32) if with_splat else None),
+        padded=padded)
 
 
 def film_splat(config: FilmConfig, state: FilmState, pfilm, radiance,
@@ -107,6 +126,92 @@ def film_splat(config: FilmConfig, state: FilmState, pfilm, radiance,
     return FilmState(rgb=rgb, weight=weight, splat=state.splat)
 
 
+def film_splat_pixmajor(config: FilmConfig, state: FilmState, jitter,
+                        radiance, pix0, spp: int,
+                        mask=None) -> FilmState:
+    """Scatter-free splat for pixel-major waves.
+
+    Precondition: the N samples are the spp samples of N/spp
+    *consecutive* pixels starting at flat pixel index pix0 (traced
+    scalar), sample-minor: sample i belongs to pixel pix0 + i//spp.
+    jitter [N,2] is the sub-pixel offset in [0,1)^2 (pfilm - pixel).
+    state must be film_init(..., padded=True).
+
+    Instead of a scatter-add over (2r)^2 tap indices per sample (the
+    reference's FilmTile::add_sample, film.rs:297-319 — serialized on
+    TPU), the filter is evaluated separably per axis and each of the
+    (2p+1)^2 static tap offsets becomes one shifted dense add in flat
+    film-index space (tap offset (dy,dx) == flat offset dy*W+dx); the
+    halo rows absorb off-image taps.  Bit-for-bit the same
+    accumulation as film_splat up to float summation order.
+    """
+    assert state.padded, "film_splat_pixmajor needs film_init(padded=True)"
+    w, h = config.resolution
+    (cx0, cy0), (cx1, cy1) = config.crop()
+    (rx, ry), eval_x, eval_y = filt.make_filter_1d(config.filter)
+    p = film_pad(config)
+    padf = _pad_flat(config)
+    nt = 2 * p + 1
+    n = jitter.shape[0]
+    n_pix = n // spp
+    assert n_pix * spp == n
+
+    jx = jitter[:, 0]
+    jy = jitter[:, 1]
+    # sample's own pixel coords (for column-wrap / crop masking)
+    pix_j = pix0 + jnp.arange(n_pix, dtype=jnp.int32)
+    sx = pix_j % w     # [n_pix]
+    sy = pix_j // w
+
+    doff = jnp.arange(nt, dtype=jnp.int32) - p          # [nt]
+    # per-axis offsets from tap pixel centers: tap center (x+d+0.5)
+    # minus sample pos (x+jx)
+    ox = (doff[None, :].astype(jnp.float32) + 0.5) - jx[:, None]  # [N,nt]
+    oy = (doff[None, :].astype(jnp.float32) + 0.5) - jy[:, None]
+    wx = jnp.where(jnp.abs(ox) <= rx, eval_x(ox), 0.0)
+    wy = jnp.where(jnp.abs(oy) <= ry, eval_y(oy), 0.0)
+    # column validity (x taps must not wrap across rows) + crop window
+    tap_x = sx[:, None] + doff[None, :]                  # [n_pix,nt]
+    tap_y = sy[:, None] + doff[None, :]
+    okx = (tap_x >= cx0) & (tap_x < jnp.minimum(cx1, w))
+    oky = (tap_y >= cy0) & (tap_y < cy1)
+    wx = wx * okx.repeat(spp, axis=0)
+    wy = wy * oky.repeat(spp, axis=0)
+    if mask is not None:
+        wx = jnp.where(mask[:, None], wx, 0.0)
+
+    lw = jnp.concatenate(
+        [radiance, jnp.ones((n, 1), jnp.float32)], -1)   # [N,4]
+    # per-pixel per-tap sums over spp:
+    # plane[j, dy, dx, c] = sum_s wy[j,s,dy] * wx[j,s,dx] * lw[j,s,c]
+    wxs = wx.reshape(n_pix, spp, nt)
+    wys = wy.reshape(n_pix, spp, nt)
+    lws = lw.reshape(n_pix, spp, 4)
+    plane = jnp.einsum("jsd,jse,jsc->jdec", wys, wxs, lws,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    # shift-add the nt x nt planes into a local flat window; local[k]
+    # corresponds to padded-state flat index pix0 + k
+    local = jnp.zeros((n_pix + 2 * padf, 4), jnp.float32)
+    for dy in range(nt):
+        for dx in range(nt):
+            off = (dy - p) * w + (dx - p) + padf
+            local = local.at[off:off + n_pix].add(plane[:, dy, dx, :])
+
+    start = pix0.astype(jnp.int32) if hasattr(pix0, "astype") \
+        else jnp.int32(pix0)
+    win = jax.lax.dynamic_slice(state.rgb, (start, 0),
+                                (n_pix + 2 * padf, 3))
+    rgb = jax.lax.dynamic_update_slice(
+        state.rgb, win + local[:, :3], (start, 0))
+    wwin = jax.lax.dynamic_slice(state.weight, (start,),
+                                 (n_pix + 2 * padf,))
+    weight = jax.lax.dynamic_update_slice(
+        state.weight, wwin + local[:, 3], (start,))
+    return FilmState(rgb=rgb, weight=weight, splat=state.splat,
+                     padded=True)
+
+
 def film_add_splat(config: FilmConfig, state: FilmState, praster,
                    radiance, mask=None) -> FilmState:
     """Add N light-tracing splats (praster [N,2], radiance [N,3]) to
@@ -135,9 +240,14 @@ def film_finalize(state: FilmState, config: FilmConfig,
     (ref: TilePixel::finalize, film.rs:338-345), plus
     splat_scale * splat plane.  Returns [H, W, 3]."""
     w, h = config.resolution
-    safe = jnp.where(state.weight > 0.0, state.weight, 1.0)
+    rgb_sum, wgt_sum = state.rgb, state.weight
+    if state.padded:
+        padf = _pad_flat(config)
+        rgb_sum = rgb_sum[padf:padf + h * w]
+        wgt_sum = wgt_sum[padf:padf + h * w]
+    safe = jnp.where(wgt_sum > 0.0, wgt_sum, 1.0)
     img = jnp.where(
-        (state.weight > 0.0)[:, None], state.rgb / safe[:, None], 0.0)
+        (wgt_sum > 0.0)[:, None], rgb_sum / safe[:, None], 0.0)
     if state.splat is not None and splat_scale != 0.0:
         img = img + splat_scale * state.splat
     return img.reshape(h, w, 3)

@@ -186,7 +186,6 @@ def parse_scene(path: str, spp_override: Optional[int] = None,
     tex_registry = _TextureRegistry(texctx)
     named_mats = _Named()
     mat_ids: Dict[str, int] = {}
-    named_lights = _Named()
     # spheres registered by component name for "Transformed" instancing
     sphere_specs: Dict[str, dict] = {}
 
@@ -240,10 +239,12 @@ def parse_scene(path: str, spp_override: Optional[int] = None,
             if light_named is not None:
                 # emission profile; constant part only (image-texture
                 # emission resolves to white — area-light tables store
-                # a constant radiance)
-                resolved = named_lights.resolve(
-                    light_named,
-                    lambda v: tex_registry._build_rgb(v))
+                # a constant radiance).  Light descs share the ONE
+                # rgbtextures namespace with material descs (ref:
+                # arencli.rs:90,125-127), so a light may reference a
+                # material's texture by name and vice versa.
+                resolved = tex_registry.rgb.resolve(
+                    light_named, tex_registry._build_rgb)
                 emission = resolved[0] if resolved is not None else None
             transform = _mat4(body.get("transform"))
             spec = dict(radius=float(sphere["radius"]),

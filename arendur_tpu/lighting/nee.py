@@ -226,17 +226,13 @@ def _occlusion_query(scene, hit: sc.Hit, pfrom):
     return sc.occluded(scene, o, dirn, dist * (1.0 - 1e-3))
 
 
-def evaluate_direct(scene: sc.SceneData, hit: sc.Hit, bsdf: sl.BsdfSlots,
-                    wo, lidx, ulight, uscatter):
-    """MIS direct lighting for one sampled light per lane
-    (ref: scene.rs:83-167).  Returns radiance [N,3] (caller divides by
+def light_branch(scene: sc.SceneData, hit: sc.Hit, bsdf: sl.BsdfSlots,
+                 wo, lidx, ulight):
+    """Light-sampling branch of evaluate_direct
+    (ref: scene.rs:92-126).  Returns radiance [N,3] (caller divides by
     the light-selection pdf)."""
     from arendur_tpu.geometry.vec import as_jax
     scene = as_jax(scene)
-    n = wo.shape[0]
-    ret = jnp.zeros((n, 3), jnp.float32)
-
-    # ---- light-sampling branch ----
     ls = light_sample(scene, lidx, hit.pos, ulight)
     wi = ls["wi"]
     no_effect = (ls["pdf"] == 0.0) | spec.is_black(ls["radiance"])
@@ -255,37 +251,44 @@ def evaluate_direct(scene: sc.SceneData, hit: sc.Hit, bsdf: sl.BsdfSlots,
                         contrib_area)
     contrib = jnp.where((need_shadow & ~no_effect)[..., None], contrib,
                         0.0)
-    ret = ret + spec.sanitize(contrib)
+    return spec.sanitize(contrib)
 
-    # ---- bsdf-sampling branch (non-delta lights only) ----
-    f2, wi2, pdf2, kind2 = sl.bsdf_sample(bsdf, wo, uscatter, ALL)
-    f2 = f2 * jnp.abs(dot(wi2, bsdf.ns))[..., None]
-    active = ~ls["delta"] & ~spec.is_black(f2) & (pdf2 > 0.0)
+
+def path_mis_weight(scene: sc.SceneData, lidx, selpdf, pos, wi2, pdf2,
+                    kind2, f2):
+    """Deferred bsdf-sampling branch of evaluate_direct
+    (ref: scene.rs:129-165), restructured for path reuse: instead of
+    sampling an extra bsdf direction and re-intersecting the whole
+    scene (a third full ray query per bounce), the *path continuation*
+    sample doubles as the MIS bsdf sample.  This returns the scalar
+    weight W [N] such that, when the continuation ray's next vertex
+    lands on light `lidx`, adding
+
+        beta_next * Le * W       (beta_next already contains f2*cos/pdf2)
+
+    reproduces the reference's bsdf-branch term
+    f2 * Le * w2 / pdf2 / selpdf in expectation (same sampling
+    distribution, one shared sample instead of two independent ones).
+    Delta lights return 0 (reference skips the branch, scene.rs:129);
+    non-specular samples with zero light pdf return 0
+    (scene.rs:141-142); specular samples use w2 = 1.
+    """
     is_spec = (kind2 & SPECULAR) != 0
-    lpdf = light_pdf_wi(scene, lidx, hit.pos, wi2)
+    lpdf = light_pdf_wi(scene, lidx, pos, wi2)
+    delta = is_delta_light(scene, lidx)
+    active = (~delta & ~spec.is_black(f2) & (pdf2 > 0.0)
+              & (is_spec | (lpdf > 0.0)))
     w2 = jnp.where(is_spec, 1.0,
                    warps.power_heuristic(1, pdf2, 1, lpdf))
-    # reference bails out of the whole bsdf branch when lpdf == 0 for
-    # non-specular samples (scene.rs:141-142)
-    active = active & (is_spec | (lpdf > 0.0))
-
-    o2 = sc.offset_ray_origin(hit.pos, hit.pos_err, hit.ng, wi2)
-    hit2 = sc.intersect(scene, o2, wi2)
-    # pointer-compare: did we hit *this* light's primitive?
-    same_light = hit2.hit & (hit2.light_id == lidx)
-    li = jnp.where(same_light[..., None],
-                   scene.lights.emission[jnp.maximum(hit2.light_id, 0)],
-                   0.0)
-    contrib2 = f2 * li * (w2 / jnp.maximum(pdf2, 1e-20))[..., None]
-    contrib2 = jnp.where(active[..., None], contrib2, 0.0)
-    ret = ret + spec.sanitize(contrib2)
-    return ret
+    return jnp.where(active, w2 / jnp.maximum(selpdf, 1e-20), 0.0)
 
 
 def uniform_sample_one_light(scene: sc.SceneData, hit: sc.Hit,
-                             bsdf: sl.BsdfSlots, wo, u_select, ulight,
-                             uscatter):
-    """ref: scene.rs:58-66."""
-    lidx, lpdf = sample_one_light(scene, u_select)
-    term = evaluate_direct(scene, hit, bsdf, wo, lidx, ulight, uscatter)
-    return term / jnp.maximum(lpdf, 1e-20)[..., None]
+                             bsdf: sl.BsdfSlots, wo, u_select, ulight):
+    """ref: scene.rs:58-66.  Returns (direct, lidx, selpdf): the
+    light-branch contribution (already divided by the selection pdf)
+    plus the sampled light id / selection pdf the integrator needs to
+    finish the deferred bsdf branch via path_mis_weight."""
+    lidx, selpdf = sample_one_light(scene, u_select)
+    term = light_branch(scene, hit, bsdf, wo, lidx, ulight)
+    return (term / jnp.maximum(selpdf, 1e-20)[..., None], lidx, selpdf)

@@ -97,8 +97,15 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
     alive = o[:, 0] == o[:, 0]
     specular = o[:, 0] != o[:, 0]
 
-    def bounce_step(bounce, o, d, L, beta, alive, specular, cone_w):
-        """One path-tracing bounce; `bounce` may be a traced scalar."""
+    def bounce_step(bounce, o, d, L, beta, alive, specular, cone_w,
+                    sel_prev, wb_prev, nee_prev):
+        """One path-tracing bounce; `bounce` may be a traced scalar.
+
+        sel_prev/wb_prev/nee_prev carry the previous vertex's deferred
+        MIS bsdf-branch (nee.path_mis_weight): the continuation ray IS
+        the MIS bsdf sample, so hitting the previously-selected light
+        here collects the bsdf-branch term without the reference's
+        third full scene query per bounce (scene.rs:146-155)."""
         dim0 = smp.BOUNCE_DIM_BASE + bounce * smp.DIMS_PER_BOUNCE
         hit = sc.intersect(scene, o, d)
         lane_active = alive & hit.hit
@@ -106,11 +113,19 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         # (2) emitted radiance (ref: pt.rs:72-78; le() via the
         # primitive's lighting profile, interaction.rs:254-261 —
         # evaluate_path returns the emission texture irrespective of
-        # orientation for constant profiles)
-        take_le = lane_active & (hit.light_id >= 0) \
-            & ((bounce == 0) | specular)
+        # orientation for constant profiles).  Weight = 1 for camera
+        # hits and specular continuations (pt.rs:72-78) plus the
+        # deferred MIS bsdf-branch weight when this vertex is the light
+        # NEE selected at the previous vertex (scene.rs:146-157; for a
+        # mixed specular+non-specular bsdf both terms apply, exactly as
+        # in the reference, which runs both code paths).
+        emit_gate = lane_active & (hit.light_id >= 0)
+        w_emit = jnp.where((bounce == 0) | specular, 1.0, 0.0) \
+            + jnp.where(nee_prev & (hit.light_id == sel_prev),
+                        wb_prev, 0.0)
         le = scene.lights.emission[jnp.maximum(hit.light_id, 0)]
-        L = L + jnp.where(take_le[..., None], beta * le, 0.0)
+        L = L + jnp.where(emit_gate[..., None], w_emit[..., None]
+                          * beta * le, 0.0)
 
         # (3) scattering + NEE
         wo = -d
@@ -133,17 +148,22 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         do_nee = lane_active & (sl.match_count(bsdf, ALL_NON_SPECULAR) > 0)
         u_sel = ws.u1(dim0 + smp.DIM_LIGHT_SELECT)
         u_light = ws.u2(dim0 + smp.DIM_LIGHT_U)
-        u_scatter = ws.u2(dim0 + smp.DIM_SCATTER_U)
-        direct = nee.uniform_sample_one_light(
-            scene, hit, bsdf, wo, u_sel, u_light, u_scatter)
+        direct, lidx, selpdf = nee.uniform_sample_one_light(
+            scene, hit, bsdf, wo, u_sel, u_light)
         L = L + jnp.where(do_nee[..., None], beta * direct, 0.0)
 
-        # (4) bsdf sample for path continuation (ref: pt.rs:92-103)
+        # (4) bsdf sample for path continuation (ref: pt.rs:92-103);
+        # it doubles as the MIS bsdf-branch sample (path_mis_weight)
         u_bsdf = ws.u2(dim0 + smp.DIM_BSDF_U)
         f, wi, pdf, kind = sl.bsdf_sample(bsdf, wo, u_bsdf, ALL)
         cont = lane_active & ~spec.is_black(f) & (pdf > 0.0)
         specular = jnp.where(lane_active, (kind & SPECULAR) != 0,
                              specular)
+        wb = nee.path_mis_weight(scene, lidx, selpdf, hit.pos, wi, pdf,
+                                 kind, f)
+        sel_prev = jnp.where(lane_active, lidx, sel_prev)
+        wb_prev = jnp.where(lane_active, wb, wb_prev)
+        nee_prev = do_nee
         new_beta = beta * f * (jnp.abs(dot(wi, bsdf.ns))
                                / jnp.maximum(pdf, 1e-20))[..., None]
         beta_ok = spec.valid(new_beta)
@@ -167,21 +187,44 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         killed = roulette & (u_rr < q)
         beta = jnp.where((roulette & ~killed)[..., None],
                          beta / (1.0 - q), beta)
-        alive = alive & ~killed & ((bounce + 1) < config.max_depth)
-        return o, d, L, beta, alive, specular, cone_w
+        alive = alive & ~killed
+        return (o, d, L, beta, alive, specular, cone_w, sel_prev,
+                wb_prev, nee_prev)
 
     cone_w = jnp.zeros((n,), jnp.float32) + o[:, 0] * 0.0
+    sel_prev = jnp.zeros((n,), jnp.int32) + (o[:, 0] * 0.0).astype(
+        jnp.int32)
+    wb_prev = jnp.zeros((n,), jnp.float32) + o[:, 0] * 0.0
+    nee_prev = o[:, 0] != o[:, 0]
+    carry = (o, d, L, beta, alive, specular, cone_w, sel_prev, wb_prev,
+             nee_prev)
     if config.unroll_bounces:
         for bounce in range(config.max_depth):
-            o, d, L, beta, alive, specular, cone_w = bounce_step(
-                bounce, o, d, L, beta, alive, specular, cone_w)
+            carry = bounce_step(bounce, *carry)
     else:
         def scan_body(carry, bounce):
             return bounce_step(bounce, *carry), None
 
-        (o, d, L, beta, alive, specular, cone_w), _ = jax.lax.scan(
-            scan_body, (o, d, L, beta, alive, specular, cone_w),
+        carry, _ = jax.lax.scan(
+            scan_body, carry,
             jnp.arange(config.max_depth, dtype=jnp.int32))
+    (o, d, L, beta, alive, specular, cone_w, sel_prev, wb_prev,
+     nee_prev) = carry
+
+    # final deferred-MIS collection: the reference's evaluate_direct at
+    # the LAST vertex still runs its bsdf-branch re-intersection
+    # (scene.rs:146-155) even though the continuation ray is never
+    # traced (pt.rs loop bound) — one extra closest-hit completes the
+    # estimator.  The specular-flag emission term is NOT collected here
+    # (the reference's loop exits before sampling vertex max_depth).
+    need = alive & nee_prev
+    if config.max_depth > 0:
+        hit_f = sc.intersect(scene, o, d)
+        gate = need & hit_f.hit & (hit_f.light_id >= 0) \
+            & (hit_f.light_id == sel_prev)
+        le_f = scene.lights.emission[jnp.maximum(hit_f.light_id, 0)]
+        L = L + jnp.where(gate[..., None], wb_prev[..., None] * beta
+                          * le_f, 0.0)
 
     # invalid radiance becomes black, as the renderer does before
     # add_sample (pt.rs:152-156)
@@ -195,10 +238,13 @@ def render(scene: sc.SceneData, camera: cam.CameraData,
     w, h = film_cfg.resolution
     spp = config.spp
     base_key = smp.make_base_key(config.seed)
-    state = flm.film_init(film_cfg)
 
     total = w * h * spp
     wave = min(config.wave_size, total)
+    # scatter-free splat needs pixel-major waves of whole pixels that
+    # tile the frame exactly; otherwise fall back to the scatter splat
+    dense = (wave % spp == 0) and (total % wave == 0)
+    state = flm.film_init(film_cfg, padded=dense)
 
     @jax.jit
     def run_wave(state, ray_idx):
@@ -211,6 +257,10 @@ def render(scene: sc.SceneData, camera: cam.CameraData,
         pfilm, L = trace_wave(scene, camera, config, pixel_xy,
                               pixel_id.astype(jnp.int32),
                               sample_id.astype(jnp.int32), base_key)
+        if dense:
+            return flm.film_splat_pixmajor(
+                film_cfg, state, pfilm - pixel_xy, L,
+                ray_idx[0] // spp, spp, mask=valid)
         return flm.film_splat(film_cfg, state, pfilm, L, mask=valid)
 
     n_waves = (total + wave - 1) // wave

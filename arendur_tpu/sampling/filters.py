@@ -83,5 +83,41 @@ def make_filter(spec: FilterSpec) -> Tuple[Tuple[float, float], Callable]:
     return (rx, ry), evaluate
 
 
+def make_filter_1d(spec: FilterSpec):
+    """Separable decomposition: returns ((rx, ry), eval_x, eval_y) with
+    evaluate(p) == eval_x(p[...,0]) * eval_y(p[...,1]).
+
+    Every reference filter (filters.rs) is a product of 1D factors;
+    the film's dense splat exploits this to evaluate (2p+1) weights
+    per axis instead of (2p+1)^2 per tap."""
+    rx, ry = float(spec.radius[0]), float(spec.radius[1])
+    kind = spec.kind
+
+    if kind == "box":
+        fx = fy = lambda x: jnp.ones_like(x)
+    elif kind == "triangle":
+        fx = lambda x: rx - jnp.abs(x)
+        fy = lambda y: ry - jnp.abs(y)
+    elif kind == "gaussian":
+        na = -float(spec.alpha)
+        ex, ey = float(jnp.exp(na * rx * rx)), float(jnp.exp(na * ry * ry))
+        fx = lambda x: jnp.maximum(0.0, jnp.exp(na * x * x) - ex)
+        fy = lambda y: jnp.maximum(0.0, jnp.exp(na * y * y) - ey)
+    elif kind == "mitchell":
+        b, c = float(spec.b), float(spec.c)
+        fx = lambda x: _mitchell_1d(jnp.abs(2.0 * x / rx), b, c)
+        fy = lambda y: _mitchell_1d(jnp.abs(2.0 * y / ry), b, c)
+    elif kind == "lanczos":
+        inv_tau = 1.0 / float(spec.tau)
+
+        def _l1(x):
+            ax = jnp.abs(x)
+            return _sinc(ax * inv_tau) * _sinc(ax)
+        fx = fy = _l1
+    else:
+        raise ValueError(f"unknown filter kind {kind!r}")
+    return (rx, ry), fx, fy
+
+
 # The reference film's default filter (ref: film.rs:47-51)
 DEFAULT_FILTER = FilterSpec(kind="lanczos", radius=(4.0, 4.0), tau=3.0)

@@ -321,8 +321,10 @@ class SceneBuilder:
             bvh = bvhmod.build_bvh(v0, v1, v2)
         mxu_w = None
         if intersector == "mxu" and len(v0) > 0:
-            chunk = min(mxi.DEFAULT_CHUNK, max(
-                128, 1 << int(np.ceil(np.log2(max(len(v0), 1))))))
+            # round up to a 256-lane multiple (not the next power of
+            # two): a 1112-tri scene tests 1280 columns, not 2048
+            chunk = min(mxi.DEFAULT_CHUNK,
+                        max(128, -(-len(v0) // 256) * 256))
             mxu_w = mxi.pack_chunks(v0, v1, v2, chunk=chunk)
         return SceneData(
             bvh=bvh,

@@ -35,16 +35,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from arendur_tpu.shapes.mxu_intersect import ray_features
 
 _BIG = 3.0e38
+
+# tuning knobs (see tools/tune_intersect.py): ray-tile override and
+# matmul precision for the determinant matmul
+_RAY_TILE_OVERRIDE = None
+
+
+def _precision():
+    name = os.environ.get("ARENDUR_MXU_PRECISION", "highest")
+    return {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[name]
 
 
 def _quad_parts(feats, w_ref, chunk):
     """[RN,16] @ [16,4C] on the MXU; returns det/tdet/udet/vdet
     [RN, C] slices (blocked column layout, see pack_chunks)."""
     quad = jnp.dot(feats, w_ref[:], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_precision())
     det = quad[:, 0 * chunk:1 * chunk]
     tdet = quad[:, 1 * chunk:2 * chunk]
     udet = quad[:, 2 * chunk:3 * chunk]
@@ -123,8 +136,10 @@ def _anyhit_kernel(feats_ref, tmax_ref, w_ref, out_ref, *,
 
 
 def _ray_tile(chunk: int) -> int:
-    # keep the [RN, 4*chunk] matmul output ~<= 4 MB of VMEM
-    return 128 if chunk >= 1024 else 256
+    if _RAY_TILE_OVERRIDE is not None:
+        return _RAY_TILE_OVERRIDE
+    # keep the [RN, 4*chunk] matmul output ~<= 5 MB of VMEM
+    return 256 if chunk <= 1280 else 128
 
 
 def _pad_rays(feats, tmax, rn):

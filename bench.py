@@ -65,10 +65,11 @@ def inner():
         pfilm, L = integ.trace_wave(
             scene, camera, config, pixel_xy, pixel_id.astype(jnp.int32),
             sample_id.astype(jnp.int32), base_key)
-        return flm.film_splat(film_cfg, state, pfilm, L,
-                              mask=ray_idx < total)
+        return flm.film_splat_pixmajor(
+            film_cfg, state, pfilm - pixel_xy, L, ray_idx[0] // spp,
+            spp, mask=ray_idx < total)
 
-    state = flm.film_init(film_cfg)
+    state = flm.film_init(film_cfg, padded=True)
     idx0 = jnp.arange(wave, dtype=jnp.int32)
     state = run_wave(state, idx0)           # warmup/compile
     jax.block_until_ready(state)

@@ -110,3 +110,55 @@ class TestFilm:
         img = np.asarray(flm.film_finalize(st, cfg))
         assert img[1, 1].sum() == 0  # outside crop rejected
         assert img[3, 3].sum() > 0
+
+
+class TestPixmajorSplat:
+    """film_splat_pixmajor must agree with the generic scatter splat."""
+
+    def _run(self, kind, radius, res=(16, 12), spp=4, mask_frac=None,
+             waves=1, crop=None):
+        rng = np.random.default_rng(42)
+        w, h = res
+        kw = dict(crop_min=crop[0], crop_max=crop[1]) if crop else {}
+        cfg = flm.FilmConfig(resolution=res,
+                             filter=filt.FilterSpec(kind, radius), **kw)
+        total = w * h * spp
+        jitter = rng.random((total, 2)).astype(np.float32)
+        L = rng.random((total, 3)).astype(np.float32)
+        pix = np.arange(total) // spp
+        pfilm = np.stack([pix % w, pix // w], -1).astype(np.float32) + jitter
+        mask = None
+        if mask_frac is not None:
+            mask = rng.random(total) < mask_frac
+
+        st_ref = flm.film_init(cfg)
+        st_ref = flm.film_splat(cfg, st_ref, jnp.asarray(pfilm),
+                                jnp.asarray(L),
+                                None if mask is None else jnp.asarray(mask))
+        ref = np.asarray(flm.film_finalize(st_ref, cfg))
+
+        st = flm.film_init(cfg, padded=True)
+        nw = total // waves
+        for i in range(waves):
+            sl = slice(i * nw, (i + 1) * nw)
+            st = flm.film_splat_pixmajor(
+                cfg, st, jnp.asarray(jitter[sl]), jnp.asarray(L[sl]),
+                jnp.int32(i * nw // spp), spp,
+                None if mask is None else jnp.asarray(mask[sl]))
+        out = np.asarray(flm.film_finalize(st, cfg))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+    def test_lanczos4(self):
+        self._run("lanczos", (4.0, 4.0))
+
+    def test_mitchell2(self):
+        self._run("mitchell", (2.0, 2.0))
+
+    def test_gaussian_masked_multiwave(self):
+        self._run("gaussian", (1.5, 1.5), mask_frac=0.7, waves=4)
+
+    def test_box(self):
+        self._run("box", (0.5, 0.5))
+
+    def test_crop_window(self):
+        self._run("lanczos", (4.0, 4.0), crop=((2, 3), (13, 10)))
