@@ -59,10 +59,30 @@ class BsdfSlots:
     p1: jnp.ndarray    # [N,K]
     p2: jnp.ndarray    # [N,K]
     dist: jnp.ndarray  # [N,K] int32
+    # static per-slot-column sets of bxdf types the scene's materials
+    # can place there (materials.slot_presence); None = any.  Lets the
+    # eval/pdf/sample sweeps skip whole bxdf families: masked-out SIMD
+    # work is only free if it is never emitted.
+    present: tuple = struct.field(pytree_node=False, default=None)
 
     @property
     def nslots(self):
         return self.type.shape[-1]
+
+    def col_present(self, k: int):
+        """Type set possibly present in slot column k (None = all)."""
+        if self.present is None:
+            return None
+        return self.present[k]
+
+    def any_present(self):
+        """Union over columns (None = all)."""
+        if self.present is None:
+            return None
+        out = set()
+        for c in self.present:
+            out |= set(c)
+        return tuple(sorted(out))
 
 
 def make_bsdf_frame(ns, ng, dpdu):
@@ -181,21 +201,24 @@ def _ashikhmin_eval(c0, c1, alpha, dist, wo, wi):
     return jnp.where(degen[..., None], 0.0, diffuse + spec)
 
 
-def slot_eval(stype, c0, c1, p0, p1, p2, dist, wo, wi):
+def slot_eval(stype, c0, c1, p0, p1, p2, dist, wo, wi, present=None):
     """f(wo, wi) for one slot column, all lanes.  stype [N]; colors
-    [N,3]; scalars [N]."""
+    [N,3]; scalars [N].  present: optional static type set — families
+    not in it are never computed (materials.slot_presence)."""
     zero = jnp.zeros_like(c0)
-    lam_r = c0 * INV_PI
-    lam_t = c0 * INV_PI
-    on = _oren_nayar_eval(c0, p0, p1, wo, wi)
-    tsr = _ts_r_eval(c0, p0, p1, p2, dist, wo, wi)
-    tst = _ts_t_eval(c0, p0, p1, p2, dist, wo, wi)
-    ash = _ashikhmin_eval(c0, c1, p0, dist, wo, wi)
+    fams = (
+        (T_LAMBERT_R, lambda: c0 * INV_PI),
+        (T_LAMBERT_T, lambda: c0 * INV_PI),
+        (T_OREN_NAYAR, lambda: _oren_nayar_eval(c0, p0, p1, wo, wi)),
+        (T_TS_R, lambda: _ts_r_eval(c0, p0, p1, p2, dist, wo, wi)),
+        (T_TS_T, lambda: _ts_t_eval(c0, p0, p1, p2, dist, wo, wi)),
+        (T_ASHIKHMIN, lambda: _ashikhmin_eval(c0, c1, p0, dist, wo, wi)),
+    )
     out = zero
-    for t, val in ((T_LAMBERT_R, lam_r), (T_LAMBERT_T, lam_t),
-                   (T_OREN_NAYAR, on), (T_TS_R, tsr), (T_TS_T, tst),
-                   (T_ASHIKHMIN, ash)):
-        out = jnp.where((stype == t)[..., None], val, out)
+    for t, fn in fams:
+        if present is not None and t not in present:
+            continue
+        out = jnp.where((stype == t)[..., None], fn(), out)
     return out
 
 
@@ -237,17 +260,21 @@ def _ashikhmin_pdf(alpha, dist, wo, wi):
     return jnp.where(wo[..., 2] * wi[..., 2] < 0.0, 0.0, pdf)
 
 
-def slot_pdf(stype, p0, p1, p2, dist, wo, wi):
+def slot_pdf(stype, p0, p1, p2, dist, wo, wi, present=None):
     zero = jnp.zeros(stype.shape, jnp.float32)
+    fams = (
+        (T_LAMBERT_R, lambda: _cos_pdf_same(wo, wi)),
+        (T_OREN_NAYAR, lambda: _cos_pdf_same(wo, wi)),
+        (T_LAMBERT_T, lambda: _cos_pdf_opposite(wo, wi)),
+        (T_TS_R, lambda: _ts_r_pdf(p0, dist, wo, wi)),
+        (T_TS_T, lambda: _ts_t_pdf(p0, p1, p2, dist, wo, wi)),
+        (T_ASHIKHMIN, lambda: _ashikhmin_pdf(p0, dist, wo, wi)),
+    )
     out = zero
-    for t, val in (
-            (T_LAMBERT_R, _cos_pdf_same(wo, wi)),
-            (T_OREN_NAYAR, _cos_pdf_same(wo, wi)),
-            (T_LAMBERT_T, _cos_pdf_opposite(wo, wi)),
-            (T_TS_R, _ts_r_pdf(p0, dist, wo, wi)),
-            (T_TS_T, _ts_t_pdf(p0, p1, p2, dist, wo, wi)),
-            (T_ASHIKHMIN, _ashikhmin_pdf(p0, dist, wo, wi))):
-        out = jnp.where(stype == t, val, out)
+    for t, fn in fams:
+        if present is not None and t not in present:
+            continue
+        out = jnp.where(stype == t, fn(), out)
     return out
 
 
@@ -255,134 +282,163 @@ def slot_pdf(stype, p0, p1, p2, dist, wo, wi):
 # per-slot sampling
 # ---------------------------------------------------------------------------
 
-def slot_sample(stype, c0, c1, p0, p1, p2, dist, wo, u):
+def slot_sample(stype, c0, c1, p0, p1, p2, dist, wo, u, present=None):
     """Sample wi for one slot column; returns (f [N,3], wi [N,3],
     pdf [N], sampled_kind [N] int32).  u is the *raw* 2D sample, not
-    remapped after slot selection (reference quirk)."""
+    remapped after slot selection (reference quirk).  present:
+    optional static type set — families not in it are never emitted
+    (materials.slot_presence)."""
     n = wo.shape[0]
     ux = u[..., 0]
     # Detached-sampling estimator: directions are constants w.r.t.
     # material parameters; f and pdf stay differentiable (SURVEY §7 M5).
     sg = jax.lax.stop_gradient
 
+    def has(*ts):
+        return present is None or any(t in present for t in ts)
+
+    table = {}
+
     # --- cosine-hemisphere families -------------------------------------
-    from arendur_tpu.sampling.warps import sample_cosw_hemisphere
-    wi_cos = sg(sample_cosw_hemisphere(u))
-    wi_same = jnp.where((wo[..., 2] < 0.0)[..., None],
-                        wi_cos * jnp.asarray([1.0, 1.0, -1.0]), wi_cos)
-    wi_opp = jnp.where((wo[..., 2] > 0.0)[..., None],
-                       wi_cos * jnp.asarray([1.0, 1.0, -1.0]), wi_cos)
+    if has(T_LAMBERT_R, T_OREN_NAYAR, T_LAMBERT_T):
+        from arendur_tpu.sampling.warps import sample_cosw_hemisphere
+        wi_cos = sg(sample_cosw_hemisphere(u))
+        wi_same = jnp.where((wo[..., 2] < 0.0)[..., None],
+                            wi_cos * jnp.asarray([1.0, 1.0, -1.0]), wi_cos)
+        wi_opp = jnp.where((wo[..., 2] > 0.0)[..., None],
+                           wi_cos * jnp.asarray([1.0, 1.0, -1.0]), wi_cos)
+        if has(T_LAMBERT_R):
+            table[T_LAMBERT_R] = (
+                c0 * INV_PI, wi_same, _cos_pdf_same(wo, wi_same),
+                jnp.full((n,), KIND_OF_TYPE[T_LAMBERT_R], jnp.int32))
+        if has(T_OREN_NAYAR):
+            table[T_OREN_NAYAR] = (
+                _oren_nayar_eval(c0, p0, p1, wo, wi_same), wi_same,
+                _cos_pdf_same(wo, wi_same),
+                jnp.full((n,), KIND_OF_TYPE[T_OREN_NAYAR], jnp.int32))
+        if has(T_LAMBERT_T):
+            table[T_LAMBERT_T] = (
+                c0 * INV_PI, wi_opp, _cos_pdf_opposite(wo, wi_opp),
+                jnp.full((n,), KIND_OF_TYPE[T_LAMBERT_T], jnp.int32))
+
+    # --- mirror direction (fresnel + perfect specular families) ---------
+    if has(T_FRESNEL_SPEC, T_SPECULAR_R, T_SPECULAR_T):
+        cos_theta = frame.cos_theta(wo)
+        wi_mirror = wo * jnp.asarray([-1.0, -1.0, 1.0])
 
     # --- fresnel specular (FresnelBxdf, fresnel.rs:166-197) -------------
-    cos_theta = frame.cos_theta(wo)
-    fr = fresnel_dielectric(cos_theta, p0, p1)
-    refl = ux < fr
-    wi_mirror = wo * jnp.asarray([-1.0, -1.0, 1.0])
-    f_refl = (fr / jnp.maximum(jnp.abs(cos_theta), 1e-20))[..., None] * c0
-    pdf_refl = fr
-    entering = cos_theta > 0.0
-    etai = jnp.where(entering, p0, p1)
-    etao = jnp.where(entering, p1, p0)
-    nrm = jnp.where(entering[..., None],
-                    jnp.asarray([0.0, 0.0, 1.0]),
-                    jnp.asarray([0.0, 0.0, -1.0]))
-    nrm = jnp.broadcast_to(nrm, wo.shape)
-    eta_rel = _safe_ratio(etai, etao)
-    wt, ok_t = frame.refract(wo, nrm, sg(eta_rel))
-    wt = sg(wt)
-    pdf_trans = 1.0 - fr
-    f_trans = jnp.where(
-        ok_t[..., None],
-        c1 * (eta_rel * eta_rel * pdf_trans
-              / jnp.maximum(jnp.abs(wt[..., 2]), 1e-20))[..., None],
-        0.0)
-    fres_f = jnp.where(refl[..., None], f_refl, f_trans)
-    fres_wi = jnp.where(refl[..., None], wi_mirror, wt)
-    fres_pdf = jnp.where(refl, pdf_refl, pdf_trans)
-    fres_kind = jnp.where(refl, REFLECTION | SPECULAR,
-                          TRANSMISSION | SPECULAR)
+    if has(T_FRESNEL_SPEC):
+        fr = fresnel_dielectric(cos_theta, p0, p1)
+        refl = ux < fr
+        f_refl = (fr / jnp.maximum(jnp.abs(cos_theta), 1e-20))[..., None] \
+            * c0
+        pdf_refl = fr
+        entering = cos_theta > 0.0
+        etai = jnp.where(entering, p0, p1)
+        etao = jnp.where(entering, p1, p0)
+        nrm = jnp.where(entering[..., None],
+                        jnp.asarray([0.0, 0.0, 1.0]),
+                        jnp.asarray([0.0, 0.0, -1.0]))
+        nrm = jnp.broadcast_to(nrm, wo.shape)
+        eta_rel = _safe_ratio(etai, etao)
+        wt, ok_t = frame.refract(wo, nrm, sg(eta_rel))
+        wt = sg(wt)
+        pdf_trans = 1.0 - fr
+        f_trans = jnp.where(
+            ok_t[..., None],
+            c1 * (eta_rel * eta_rel * pdf_trans
+                  / jnp.maximum(jnp.abs(wt[..., 2]), 1e-20))[..., None],
+            0.0)
+        table[T_FRESNEL_SPEC] = (
+            jnp.where(refl[..., None], f_refl, f_trans),
+            jnp.where(refl[..., None], wi_mirror, wt),
+            jnp.where(refl, pdf_refl, pdf_trans),
+            jnp.where(refl, REFLECTION | SPECULAR,
+                      TRANSMISSION | SPECULAR))
 
-    # --- Torrance-Sparrow reflection ------------------------------------
-    wh_r = sg(mf.sample_wh(dist, wo, u, p0, p0))
-    wi_tsr = sg(normalize(2.0 * dot(wo, wh_r, keepdims=True) * wh_r - wo))
-    pdf_tsr = mf.pdf_wh(dist, wo, wh_r, p0, p0) / (4.0 * dot(wo, wh_r))
-    pdf_tsr = jnp.where(jnp.isfinite(pdf_tsr), pdf_tsr, 0.0)
-    f_tsr = jnp.where(
-        (wo[..., 2] * wi_tsr[..., 2] <= 0.0)[..., None],
-        0.0, _ts_r_eval(c0, p0, p1, p2, dist, wo, wi_tsr))
-
-    # --- Torrance-Sparrow transmission ----------------------------------
-    eta_tst = jnp.where(wo[..., 2] > 0.0, _safe_ratio(p1, p2),
-                        _safe_ratio(p2, p1))
-    wi_tst, ok_tst = frame.refract(wo, wh_r, sg(eta_tst))
-    wi_tst = sg(wi_tst)
-    pdf_tst = jnp.where(ok_tst, _ts_t_pdf(p0, p1, p2, dist, wo, wi_tst),
-                        0.0)
-    f_tst = jnp.where(ok_tst[..., None],
-                      _ts_t_eval(c0, p0, p1, p2, dist, wo, wi_tst), 0.0)
+    # --- Torrance-Sparrow reflection / transmission ----------------------
+    if has(T_TS_R, T_TS_T):
+        wh_r = sg(mf.sample_wh(dist, wo, u, p0, p0))
+    if has(T_TS_R):
+        wi_tsr = sg(normalize(
+            2.0 * dot(wo, wh_r, keepdims=True) * wh_r - wo))
+        pdf_tsr = mf.pdf_wh(dist, wo, wh_r, p0, p0) \
+            / (4.0 * dot(wo, wh_r))
+        pdf_tsr = jnp.where(jnp.isfinite(pdf_tsr), pdf_tsr, 0.0)
+        f_tsr = jnp.where(
+            (wo[..., 2] * wi_tsr[..., 2] <= 0.0)[..., None],
+            0.0, _ts_r_eval(c0, p0, p1, p2, dist, wo, wi_tsr))
+        table[T_TS_R] = (f_tsr, wi_tsr, pdf_tsr,
+                         jnp.full((n,), KIND_OF_TYPE[T_TS_R], jnp.int32))
+    if has(T_TS_T):
+        eta_tst = jnp.where(wo[..., 2] > 0.0, _safe_ratio(p1, p2),
+                            _safe_ratio(p2, p1))
+        wi_tst, ok_tst = frame.refract(wo, wh_r, sg(eta_tst))
+        wi_tst = sg(wi_tst)
+        pdf_tst = jnp.where(
+            ok_tst, _ts_t_pdf(p0, p1, p2, dist, wo, wi_tst), 0.0)
+        f_tst = jnp.where(
+            ok_tst[..., None],
+            _ts_t_eval(c0, p0, p1, p2, dist, wo, wi_tst), 0.0)
+        table[T_TS_T] = (f_tst, wi_tst, pdf_tst,
+                         jnp.full((n,), KIND_OF_TYPE[T_TS_T], jnp.int32))
 
     # --- Ashikhmin-Shirley 50/50 mixture --------------------------------
-    spec_path = ux < 0.5
-    # clip remapped samples into [0,1): the remap is only *used* on
-    # its own branch, but it is *computed* for every lane, and
-    # out-of-range u feeds sqrt(-log(u)) NaNs into sample_wh
-    u_spec = jnp.stack(
-        [jnp.clip(ux * 2.0, 0.0, 0.999999), u[..., 1]], axis=-1)
-    u_diff = jnp.stack(
-        [jnp.clip((1.0 - ux) * 2.0, 0.0, 0.999999), u[..., 1]], axis=-1)
-    wh_a = sg(mf.sample_wh(dist, wo, u_spec, p0, p0))
-    wi_as = sg(normalize(2.0 * dot(wo, wh_a, keepdims=True) * wh_a - wo))
-    wi_ad_raw = sample_cosw_hemisphere(u_diff)
-    wi_ad = jnp.where((wi_ad_raw[..., 2] < 0.0)[..., None],
-                      wi_ad_raw * jnp.asarray([1.0, 1.0, -1.0]), wi_ad_raw)
-    wi_ash = jnp.where(spec_path[..., None], wi_as, wi_ad)
-    bad_spec = spec_path & (wo[..., 2] * wi_ash[..., 2] <= 0.0)
-    pdf_ash = _ashikhmin_pdf(p0, dist, wo, wi_ash)
-    f_ash = jnp.where(bad_spec[..., None], 0.0,
-                      _ashikhmin_eval(c0, c1, p0, dist, wo, wi_ash))
+    if has(T_ASHIKHMIN):
+        from arendur_tpu.sampling.warps import sample_cosw_hemisphere
+        spec_path = ux < 0.5
+        # clip remapped samples into [0,1): the remap is only *used* on
+        # its own branch, but it is *computed* for every lane, and
+        # out-of-range u feeds sqrt(-log(u)) NaNs into sample_wh
+        u_spec = jnp.stack(
+            [jnp.clip(ux * 2.0, 0.0, 0.999999), u[..., 1]], axis=-1)
+        u_diff = jnp.stack(
+            [jnp.clip((1.0 - ux) * 2.0, 0.0, 0.999999), u[..., 1]],
+            axis=-1)
+        wh_a = sg(mf.sample_wh(dist, wo, u_spec, p0, p0))
+        wi_as = sg(normalize(
+            2.0 * dot(wo, wh_a, keepdims=True) * wh_a - wo))
+        wi_ad_raw = sample_cosw_hemisphere(u_diff)
+        wi_ad = jnp.where((wi_ad_raw[..., 2] < 0.0)[..., None],
+                          wi_ad_raw * jnp.asarray([1.0, 1.0, -1.0]),
+                          wi_ad_raw)
+        wi_ash = jnp.where(spec_path[..., None], wi_as, wi_ad)
+        bad_spec = spec_path & (wo[..., 2] * wi_ash[..., 2] <= 0.0)
+        pdf_ash = _ashikhmin_pdf(p0, dist, wo, wi_ash)
+        f_ash = jnp.where(bad_spec[..., None], 0.0,
+                          _ashikhmin_eval(c0, c1, p0, dist, wo, wi_ash))
+        table[T_ASHIKHMIN] = (
+            f_ash, wi_ash, pdf_ash,
+            jnp.full((n,), KIND_OF_TYPE[T_ASHIKHMIN], jnp.int32))
 
     # --- perfect specular R / T (specular.rs) ---------------------------
-    cos_r = frame.cos_theta(wi_mirror)
-    fr_sr = fresnel_dielectric(cos_r, p0, p1)
-    f_sr = (fr_sr / jnp.maximum(jnp.abs(cos_r), 1e-20))[..., None] * c0
-    f_st = ((1.0 - fr_sr) / jnp.maximum(jnp.abs(cos_r), 1e-20))[..., None] * c0
+    if has(T_SPECULAR_R, T_SPECULAR_T):
+        cos_r = frame.cos_theta(wi_mirror)
+        fr_sr = fresnel_dielectric(cos_r, p0, p1)
+        inv_c = 1.0 / jnp.maximum(jnp.abs(cos_r), 1e-20)
+        if has(T_SPECULAR_R):
+            table[T_SPECULAR_R] = (
+                (fr_sr * inv_c)[..., None] * c0, wi_mirror,
+                jnp.ones((n,), jnp.float32),
+                jnp.full((n,), KIND_OF_TYPE[T_SPECULAR_R], jnp.int32))
+        if has(T_SPECULAR_T):
+            table[T_SPECULAR_T] = (
+                ((1.0 - fr_sr) * inv_c)[..., None] * c0, wi_mirror,
+                jnp.ones((n,), jnp.float32),
+                jnp.full((n,), KIND_OF_TYPE[T_SPECULAR_T], jnp.int32))
 
     # --- select by slot type --------------------------------------------
-    def pick(table):
-        fv = jnp.zeros((n, 3), jnp.float32)
-        wiv = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (n, 3))
-        pv = jnp.zeros((n,), jnp.float32)
-        kv = jnp.zeros((n,), jnp.int32)
-        for t, (f_, wi_, p_, k_) in table.items():
-            m = stype == t
-            fv = jnp.where(m[..., None], f_, fv)
-            wiv = jnp.where(m[..., None], wi_, wiv)
-            pv = jnp.where(m, p_, pv)
-            kv = jnp.where(m, k_, kv)
-        return fv, wiv, pv, kv
-
-    lam_r_f = c0 * INV_PI
-    on_f = _oren_nayar_eval(c0, p0, p1, wo, wi_same)
-    table = {
-        T_LAMBERT_R: (lam_r_f, wi_same, _cos_pdf_same(wo, wi_same),
-                      jnp.full((n,), KIND_OF_TYPE[T_LAMBERT_R], jnp.int32)),
-        T_OREN_NAYAR: (on_f, wi_same, _cos_pdf_same(wo, wi_same),
-                       jnp.full((n,), KIND_OF_TYPE[T_OREN_NAYAR], jnp.int32)),
-        T_LAMBERT_T: (c0 * INV_PI, wi_opp, _cos_pdf_opposite(wo, wi_opp),
-                      jnp.full((n,), KIND_OF_TYPE[T_LAMBERT_T], jnp.int32)),
-        T_FRESNEL_SPEC: (fres_f, fres_wi, fres_pdf, fres_kind),
-        T_TS_R: (f_tsr, wi_tsr, pdf_tsr,
-                 jnp.full((n,), KIND_OF_TYPE[T_TS_R], jnp.int32)),
-        T_TS_T: (f_tst, wi_tst, pdf_tst,
-                 jnp.full((n,), KIND_OF_TYPE[T_TS_T], jnp.int32)),
-        T_ASHIKHMIN: (f_ash, wi_ash, pdf_ash,
-                      jnp.full((n,), KIND_OF_TYPE[T_ASHIKHMIN], jnp.int32)),
-        T_SPECULAR_R: (f_sr, wi_mirror, jnp.ones((n,), jnp.float32),
-                       jnp.full((n,), KIND_OF_TYPE[T_SPECULAR_R], jnp.int32)),
-        T_SPECULAR_T: (f_st, wi_mirror, jnp.ones((n,), jnp.float32),
-                       jnp.full((n,), KIND_OF_TYPE[T_SPECULAR_T], jnp.int32)),
-    }
-    return pick(table)
+    fv = jnp.zeros((n, 3), jnp.float32)
+    wiv = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (n, 3))
+    pv = jnp.zeros((n,), jnp.float32)
+    kv = jnp.zeros((n,), jnp.int32)
+    for t, (f_, wi_, p_, k_) in table.items():
+        m = stype == t
+        fv = jnp.where(m[..., None], f_, fv)
+        wiv = jnp.where(m[..., None], wi_, wiv)
+        pv = jnp.where(m, p_, pv)
+        kv = jnp.where(m, k_, kv)
+    return fv, wiv, pv, kv
 
 
 # ---------------------------------------------------------------------------
@@ -417,11 +473,15 @@ def bsdf_evaluate(b: BsdfSlots, wow, wiw, types: int = ALL):
     f = jnp.zeros(wow.shape, jnp.float32)
     kinds = jnp.zeros(wow.shape[:-1], jnp.int32)
     for k in range(b.nslots):
+        pres = b.col_present(k)
+        if pres is not None and len(pres) == 0:
+            continue
         stype, c0, c1, p0, p1, p2, dist = _slot_col(b, k)
         kindk = b.kind[:, k]
         sel = ((kindk & types) != 0) & jnp.where(
             is_refl, (kindk & REFLECTION) != 0, (kindk & TRANSMISSION) != 0)
-        fk = slot_eval(stype, c0, c1, p0, p1, p2, dist, wo, wi)
+        fk = slot_eval(stype, c0, c1, p0, p1, p2, dist, wo, wi,
+                       present=pres)
         f = f + jnp.where(sel[..., None], fk, 0.0)
         kinds = kinds | jnp.where(sel, kindk & types, 0)
     return f, kinds
@@ -434,9 +494,12 @@ def bsdf_pdf(b: BsdfSlots, wow, wiw, types: int = ALL):
     total = jnp.zeros(wow.shape[:-1], jnp.float32)
     count = jnp.zeros(wow.shape[:-1], jnp.int32)
     for k in range(b.nslots):
+        pres = b.col_present(k)
+        if pres is not None and len(pres) == 0:
+            continue
         stype, c0, c1, p0, p1, p2, dist = _slot_col(b, k)
         m = (b.kind[:, k] & types) != 0
-        pk = slot_pdf(stype, p0, p1, p2, dist, wo, wi)
+        pk = slot_pdf(stype, p0, p1, p2, dist, wo, wi, present=pres)
         total = total + jnp.where(m, jnp.maximum(pk, 0.0), 0.0)
         count = count + m.astype(jnp.int32)
     pdf = jnp.where(count > 0, total / jnp.maximum(count, 1), total)
@@ -470,25 +533,38 @@ def bsdf_sample(b: BsdfSlots, wow, u, types: int = ALL):
     stype = take(b.type)
     f, wi, pdf, skind = slot_sample(
         stype, take3(b.c0), take3(b.c1), take(b.p0), take(b.p1),
-        take(b.p2), take(b.dist), wo, u)
+        take(b.p2), take(b.dist), wo, u, present=b.any_present())
     skind = skind & types
     is_spec = (take(b.kind) & SPECULAR) != 0
 
     wiw = _to_world(b, wi)
 
     # multi-slot non-specular: re-accumulate f and average pdf over
-    # slots matching the sampled kind (ref: bsdf.rs:129-143)
+    # slots matching the sampled kind (ref: bsdf.rs:129-143).  When the
+    # material table can never place more than one slot, the whole
+    # re-accumulation is statically dead.
+    if b.present is not None and \
+            sum(1 for c in b.present if len(c) > 0) <= 1:
+        dead = (nmatch == 0) | (pdf == 0.0)
+        f_out = jnp.where(dead[..., None], 0.0, f)
+        pdf_out = jnp.where(dead, 0.0, pdf)
+        skind = jnp.where(dead, 0, skind)
+        return f_out, wiw, pdf_out, skind
     multi = (nmatch > 1) & ~is_spec
     is_refl = dot(wow, b.ng) * dot(wiw, b.ng) > 0.0
     f_acc = jnp.zeros((n, 3), jnp.float32)
     pdf_acc = jnp.zeros((n,), jnp.float32)
     for k in range(b.nslots):
+        pres = b.col_present(k)
+        if pres is not None and len(pres) == 0:
+            continue
         stype_k, c0, c1, p0, p1, p2, dist = _slot_col(b, k)
         kindk = b.kind[:, k]
         sel = ((kindk & skind) != 0) & jnp.where(
             is_refl, (kindk & REFLECTION) != 0, (kindk & TRANSMISSION) != 0)
-        fk = slot_eval(stype_k, c0, c1, p0, p1, p2, dist, wo, wi)
-        pk = slot_pdf(stype_k, p0, p1, p2, dist, wo, wi)
+        fk = slot_eval(stype_k, c0, c1, p0, p1, p2, dist, wo, wi,
+                       present=pres)
+        pk = slot_pdf(stype_k, p0, p1, p2, dist, wo, wi, present=pres)
         f_acc = f_acc + jnp.where(sel[..., None], fk, 0.0)
         pdf_acc = pdf_acc + jnp.where(sel, jnp.maximum(pk, 0.0), 0.0)
     f_out = jnp.where(multi[..., None], f_acc, f)

@@ -41,21 +41,28 @@ def matmul4(first, then):
 
 
 def transform_point(m, p):
-    """Apply m to points p [..., 3], with homogeneous divide."""
-    out = _mm(p, m[:3, :3]) + m[3, :3]
-    w = _mm(p, m[:3, 3:4])[..., 0] + m[3, 3]
+    """Apply m to points p [..., 3], with homogeneous divide.
+
+    m may be a single [4,4] or batched [..., 4, 4] against p [..., 3].
+    Implemented as broadcast multiply+sum (not matmul): a contraction
+    of length 3 never tiles onto the MXU, and the 6-pass HIGHEST f32
+    emulation makes tiny batched matmuls ~10x slower than the exact
+    same arithmetic on the VPU."""
+    out = (p[..., :, None] * m[..., :3, :3]).sum(-2) + m[..., 3, :3]
+    w = (p * m[..., :3, 3]).sum(-1) + m[..., 3, 3]
     return out / w[..., None]
 
 
 def transform_vector(m, v):
-    """Apply m to direction vectors (no translation, no divide)."""
-    return _mm(v, m[:3, :3])
+    """Apply m to direction vectors (no translation, no divide);
+    m may be batched (see transform_point)."""
+    return (v[..., :, None] * m[..., :3, :3]).sum(-2)
 
 
 def transform_norm(m, n):
     """Apply m to normals via the inverse-transpose of the 3x3 block."""
-    inv = jnp.linalg.inv(m[:3, :3])
-    return _mm(n, inv.T)
+    inv = jnp.linalg.inv(m[..., :3, :3])
+    return (n[..., :, None] * jnp.swapaxes(inv, -1, -2)).sum(-2)
 
 
 def inverse4(m):

@@ -113,6 +113,64 @@ def apply_bump(textures, bump_tex, uv, ns, ng, dpdu, dpdv,
             jnp.where(has_bump, dpdu_b, dpdu))
 
 
+def slot_presence(table: MaterialTable):
+    """Static per-slot-column sets of bxdf types any material row can
+    place there — computed on the host (table leaves stay NumPy by
+    design, scene.py build note).  The slot machinery uses this to
+    skip whole bxdf families at trace time: masking is free in SIMD
+    only if the masked work is never emitted.
+
+    Returns a MAX_SLOTS-tuple of sorted type-id tuples, or None when
+    the table is traced (then every family is emitted)."""
+    try:
+        mtype = np.asarray(table.mtype)
+        kd = np.asarray(table.kd)
+        ks = np.asarray(table.ks)
+        sigma = np.asarray(table.sigma)
+        dissolve = np.asarray(table.dissolve)
+        kd_tex = np.asarray(table.kd_tex)
+        ks_tex = np.asarray(table.ks_tex)
+        sigma_tex = np.asarray(table.sigma_tex)
+    except Exception:
+        return None
+    cols = [set() for _ in range(MAX_SLOTS)]
+    for i in range(len(mtype)):
+        kd_may = (kd[i] != 0).any() or kd_tex[i] >= 0
+        ks_may = (ks[i] != 0).any() or ks_tex[i] >= 0
+        if mtype[i] == M_MATTE:
+            if kd_may:
+                if sigma_tex[i] >= 0:
+                    cols[0] |= {T_LAMBERT_R, T_OREN_NAYAR}
+                elif sigma[i] == 0.0:
+                    cols[0].add(T_LAMBERT_R)
+                else:
+                    cols[0].add(T_OREN_NAYAR)
+        elif mtype[i] == M_PLASTIC:
+            cols[0].add(T_ASHIKHMIN)
+        elif mtype[i] == M_GLASS:
+            if ks_may:
+                cols[0].add(T_FRESNEL_SPEC)
+            if kd_may:
+                if ks_may:
+                    cols[1].add(T_TS_R)
+                    cols[2].add(T_TS_T)
+                if not (ks_may and ks_tex[i] < 0 and (ks[i] != 0).any()):
+                    # spec may be absent -> TS slots shift down
+                    cols[0].add(T_TS_R)
+                    cols[1].add(T_TS_T)
+        elif mtype[i] == M_TRANSLUCENT:
+            t_as = dissolve[i] != 0.0
+            if t_as:
+                cols[0].add(T_ASHIKHMIN)
+            if kd_may:
+                # placed whenever kd may be nonblack, even at
+                # dissolve==1 (zero-scaled slot still counts in the
+                # mixture's pdf averaging) — presence must be a
+                # superset of what compute_scattering can place
+                cols[1 if t_as else 0].add(T_LAMBERT_T)
+    return tuple(tuple(sorted(c)) for c in cols)
+
+
 def compute_scattering(table: MaterialTable, mat_id, ns, ng, dpdu,
                        uv=None, textures=None, dpdv=None,
                        duvdx=None, duvdy=None,
@@ -125,6 +183,7 @@ def compute_scattering(table: MaterialTable, mat_id, ns, ng, dpdu,
     [N,2] drive mipmap LOD (trilinear) or EWA anisotropic filtering.
     """
     from arendur_tpu.geometry.vec import as_jax
+    presence = slot_presence(table)
     table = as_jax(table)
     n = mat_id.shape[0]
     mtype = table.mtype[mat_id]
@@ -249,4 +308,5 @@ def compute_scattering(table: MaterialTable, mat_id, ns, ng, dpdu,
         c0=jnp.stack(kc0, 1), c1=jnp.stack(kc1, 1),
         p0=jnp.stack(kp0, 1), p1=jnp.stack(kp1, 1),
         p2=jnp.stack(kp2, 1),
-        dist=jnp.stack(kdist, 1))
+        dist=jnp.stack(kdist, 1),
+        present=presence)
