@@ -31,9 +31,15 @@ def main(argv=None):
                     help="override max path depth")
     ap.add_argument("--renderer", choices=("pt", "whitted", "bpt"),
                     default="pt")
+    ap.add_argument("--intersector",
+                    choices=("cluster", "bvh", "naive"),
+                    default="cluster",
+                    help="triangle intersection structure: 'cluster' "
+                         "(SAH-cluster-culled MXU tables, default), "
+                         "'bvh' (per-ray stack traversal), 'naive' "
+                         "(brute-force wavefront)")
     ap.add_argument("--bvh", action="store_true",
-                    help="build a BVH over triangles (default: "
-                         "brute-force wavefront intersector)")
+                    help="deprecated alias for --intersector bvh")
     ap.add_argument("--wave", type=int, default=1 << 16,
                     help="rays per wavefront launch")
     ap.add_argument("--seed", type=int, default=0)
@@ -48,22 +54,20 @@ def main(argv=None):
     from arendur_tpu.io import scenedesc
     from arendur_tpu.render import integrator as integ
     from arendur_tpu.filming import film as flm
-    from arendur_tpu.accel import bvh as bvhmod
 
     res = None
     if args.res:
         w, h = args.res.lower().split("x")
         res = (int(w), int(h))
 
+    intersector = "bvh" if args.bvh else args.intersector
     scene, camera, film_cfg, config, outname = scenedesc.parse_scene(
-        args.input, spp_override=args.spp, resolution_override=res)
+        args.input, spp_override=args.spp, resolution_override=res,
+        intersector=intersector)
     if args.depth is not None:
         config = dataclasses.replace(config, max_depth=args.depth)
     config = dataclasses.replace(config, wave_size=args.wave,
                                  seed=args.seed)
-    if args.bvh and scene.n_tris > 0:
-        scene = scene.replace(bvh=bvhmod.build_bvh(
-            scene.tri_v0, scene.tri_v1, scene.tri_v2))
 
     out = args.output or outname
     print(f"rendering {args.input}: {film_cfg.resolution[0]}x"

@@ -176,7 +176,7 @@ def _material_row(desc, texctx=None, textures: "_TextureRegistry" = None) \
 
 
 def parse_scene(path: str, spp_override: Optional[int] = None,
-                resolution_override=None):
+                resolution_override=None, intersector: str = "cluster"):
     with open(path) as f:
         desc = json.load(f)
     base = os.path.dirname(os.path.abspath(path))
@@ -236,27 +236,38 @@ def parse_scene(path: str, spp_override: Optional[int] = None,
             mat_id = mat_ids[mname]
             light_named = body.get("light")
             emission = None
+            etex = -1
+            etex_mean = 1.0
             if light_named is not None:
-                # emission profile; constant part only (image-texture
-                # emission resolves to white — area-light tables store
-                # a constant radiance).  Light descs share the ONE
-                # rgbtextures namespace with material descs (ref:
+                # emission profile = constant part x optional image
+                # texture evaluated at the sample/hit point (ref:
+                # component/shape.rs:91-130).  Light descs share the
+                # ONE rgbtextures namespace with material descs (ref:
                 # arencli.rs:90,125-127), so a light may reference a
                 # material's texture by name and vice versa.
                 resolved = tex_registry.rgb.resolve(
                     light_named, tex_registry._build_rgb)
-                emission = resolved[0] if resolved is not None else None
+                if resolved is not None:
+                    emission, etex = resolved
+                    if etex >= 0:
+                        # 1x1 mip level == texture mean (power weight,
+                        # ref: shape.rs:160-167 power = mean*area*pi)
+                        etex_mean = float(
+                            builder.atlas.images[etex]["levels"][-1]
+                            .mean())
             transform = _mat4(body.get("transform"))
             spec = dict(radius=float(sphere["radius"]),
                         zmin=float(sphere["zmin"]),
                         zmax=float(sphere["zmax"]),
                         phimax=float(sphere["phimax"]),
-                        mat_id=mat_id, emission=emission)
+                        mat_id=mat_id, emission=emission,
+                        emission_tex=etex, emission_tex_mean=etex_mean)
             sphere_specs[name] = dict(spec=spec, transform=transform)
             builder.add_sphere(
                 spec["radius"], spec["zmin"], spec["zmax"],
                 spec["phimax"], mat_id, transform=transform,
-                emission=emission)
+                emission=emission, emission_tex=etex,
+                emission_tex_mean=etex_mean)
         elif kind == "Transformed":
             orig = sphere_specs.get(body["original"])
             if orig is None:
@@ -267,9 +278,11 @@ def parse_scene(path: str, spp_override: Optional[int] = None,
             s = orig["spec"]
             builder.add_sphere(
                 s["radius"], s["zmin"], s["zmax"], s["phimax"],
-                s["mat_id"], transform=composed, emission=s["emission"])
+                s["mat_id"], transform=composed, emission=s["emission"],
+                emission_tex=s["emission_tex"],
+                emission_tex_mean=s["emission_tex_mean"])
 
-    scene = builder.build()
+    scene = builder.build(intersector=intersector)
 
     cam_desc = desc["camera"]
     film_desc = cam_desc["film"]

@@ -49,11 +49,14 @@ def _cosine_dir_about(n_vec, u2):
     return frame.to_world(t, b, n_vec, w_local)
 
 
-def generate_path(scene: sc.SceneData, lidx, u_pos, u_dir):
+def generate_path(scene: sc.SceneData, lidx, u_pos, u_dir,
+                  textures=None):
     """Sample an emitted ray from light lidx [N].
 
     Returns dict(pos [N,3], dir [N,3], n [N,3] light normal (= dir for
-    delta lights), le [N,3], pdf_pos [N], pdf_dir [N]).
+    delta lights), le [N,3], pdf_pos [N], pdf_dir [N]).  textures:
+    optional atlas for area-light emission profiles evaluated at the
+    sampled point (ref: shape/triangle.rs:541-626).
     """
     from arendur_tpu.geometry.vec import as_jax
     scene = as_jax(scene)
@@ -85,12 +88,16 @@ def generate_path(scene: sc.SceneData, lidx, u_pos, u_dir):
         dir_t = _cosine_dir_about(n_t, u_dir)
         pdf_dir_t = warps.pdf_cosw_hemisphere(
             jnp.maximum(dot(dir_t, n_t), 0.0))
+        uv_t = (bary[..., 0:1] * scene.tri_uv0[t_idx]
+                + bary[..., 1:2] * scene.tri_uv1[t_idx]
+                + bary[..., 2:3] * scene.tri_uv2[t_idx])
     else:
         pos_t = jnp.zeros((n, 3), jnp.float32)
         n_t = jnp.zeros((n, 3), jnp.float32)
         dir_t = jnp.zeros((n, 3), jnp.float32)
         pdf_a_t = jnp.zeros((n,), jnp.float32)
         pdf_dir_t = jnp.zeros((n,), jnp.float32)
+        uv_t = jnp.zeros((n, 2), jnp.float32)
 
     # ---- point / spot ----------------------------------------------------
     lpos = lights.pos[lidx]
@@ -137,6 +144,16 @@ def generate_path(scene: sc.SceneData, lidx, u_pos, u_dir):
     nrm = pick(n_s, n_t, dir_p, dir_sp, jnp.broadcast_to(ldir, (n, 3)))
     le = pick(emission, emission, emission,
               emission * falloff[..., None], emission)
+    if textures is not None:
+        uv_sphere, _, _ = sph._local_duv(
+            lp_l, scene.spheres.radius[s_idx],
+            scene.spheres.thetamin[s_idx],
+            scene.spheres.thetamax[s_idx],
+            scene.spheres.phimax[s_idx])
+        uv_area = jnp.where((lt == sc.L_AREA_SPHERE)[..., None],
+                            uv_sphere, uv_t)
+        le = le * sc.emission_tex_factor(lights, lidx, uv_area,
+                                         textures)
     pdf_pos = pick(pdf_a_s, pdf_a_t, zeros, zeros,
                    pdf_pos_d)                     # 0 = delta position
     pdf_dir = pick(pdf_dir_s, pdf_dir_t, pdf_dir_p,

@@ -82,6 +82,10 @@ def light_sample(scene: sc.SceneData, lidx, pos, u2):
     front_s = dot(pos_local - lp_l, ln_l) > 0.0
     pfrom_s = jax.vmap(tf.transform_point)(o2w, lp_l)
     rad_s = jnp.where(front_s[..., None], emission, 0.0)
+    uv_s, _, _ = sph._local_duv(
+        lp_l, scene.spheres.radius[s_idx],
+        scene.spheres.thetamin[s_idx], scene.spheres.thetamax[s_idx],
+        scene.spheres.phimax[s_idx])
 
     # ---- area triangle -------------------------------------------------
     has_tris = scene.n_tris > 0
@@ -106,10 +110,14 @@ def light_sample(scene: sc.SceneData, lidx, pos, u2):
                           pdf_t)
         front_t = dot(pos - lp_t, ln_t) > 0.0
         rad_t = jnp.where(front_t[..., None], emission, 0.0)
+        uv_t = (bary[..., 0:1] * scene.tri_uv0[t_idx]
+                + bary[..., 1:2] * scene.tri_uv1[t_idx]
+                + bary[..., 2:3] * scene.tri_uv2[t_idx])
     else:
         lp_t = jnp.zeros_like(pos)
         pdf_t = jnp.zeros((n,), jnp.float32)
         rad_t = jnp.zeros_like(pos)
+        uv_t = jnp.zeros((n, 2), jnp.float32)
 
     # ---- point ---------------------------------------------------------
     lpos = lights.pos[lidx]
@@ -153,13 +161,17 @@ def light_sample(scene: sc.SceneData, lidx, pos, u2):
                  jnp.broadcast_to(lpos, (n, 3)), pfrom_d)
     radiance = pick(rad_s, rad_t, rad_p, rad_sp, rad_d)
     pdf = pick(pdf_s, pdf_t, pdf_p, pdf_p, pdf_d)
+    zero_uv = jnp.zeros((n, 2), jnp.float32)
+    uv = jnp.where((lt == sc.L_AREA_SPHERE)[..., None], uv_s,
+                   jnp.where((lt == sc.L_AREA_TRI)[..., None], uv_t,
+                             zero_uv))
     wi = normalize(pfrom - pos)
     # light-surface normal at pfrom (area lights; BPT MIS needs it —
     # delta/distant lanes fall back to -wi, unused through is_surface)
     n_s_world = normalize(jax.vmap(tf.transform_vector)(o2w, ln_l))
     nl = pick(n_s_world, ln_t if has_tris else -wi, -wi, -wi, -wi)
     return dict(radiance=radiance, pdf=pdf, pfrom=pfrom, wi=wi, nl=nl,
-                delta=is_delta_light(scene, lidx))
+                uv=uv, delta=is_delta_light(scene, lidx))
 
 
 def light_pdf_wi(scene: sc.SceneData, lidx, pos, wi):
@@ -213,7 +225,7 @@ def light_pdf_wi(scene: sc.SceneData, lidx, pos, wi):
     return pdf
 
 
-def _occlusion_query(scene, hit: sc.Hit, pfrom):
+def _occlusion_query(scene, hit: sc.Hit, pfrom, n_alive=None):
     """Shadow ray between the shading point and the light sample
     (ref: LightSample::occluded, lighting/mod.rs:125-133).  We offset
     the surface end robustly (interaction.rs offset) and shrink the
@@ -223,17 +235,21 @@ def _occlusion_query(scene, hit: sc.Hit, pfrom):
     seg = pfrom - o
     dist = jnp.sqrt(jnp.maximum(length2(seg), 1e-20))
     dirn = seg / dist[..., None]
-    return sc.occluded(scene, o, dirn, dist * (1.0 - 1e-3))
+    return sc.occluded(scene, o, dirn, dist * (1.0 - 1e-3),
+                       n_alive=n_alive)
 
 
 def light_branch(scene: sc.SceneData, hit: sc.Hit, bsdf: sl.BsdfSlots,
-                 wo, lidx, ulight):
+                 wo, lidx, ulight, n_alive=None, textures=None):
     """Light-sampling branch of evaluate_direct
     (ref: scene.rs:92-126).  Returns radiance [N,3] (caller divides by
     the light-selection pdf)."""
     from arendur_tpu.geometry.vec import as_jax
     scene = as_jax(scene)
     ls = light_sample(scene, lidx, hit.pos, ulight)
+    if textures is not None:
+        ls["radiance"] = ls["radiance"] * sc.emission_tex_factor(
+            scene.lights, lidx, ls["uv"], textures)
     wi = ls["wi"]
     no_effect = (ls["pdf"] == 0.0) | spec.is_black(ls["radiance"])
     f_raw, _ = sl.bsdf_evaluate(bsdf, wo, wi, ALL)
@@ -241,7 +257,7 @@ def light_branch(scene: sc.SceneData, hit: sc.Hit, bsdf: sl.BsdfSlots,
     spdf = sl.bsdf_pdf(bsdf, wo, wi, ALL)
     f = jnp.where((spdf == 0.0)[..., None], 0.0, f)
     need_shadow = ~no_effect & ~spec.is_black(f)
-    blocked = _occlusion_query(scene, hit, ls["pfrom"])
+    blocked = _occlusion_query(scene, hit, ls["pfrom"], n_alive=n_alive)
     f = jnp.where(blocked[..., None], 0.0, f)
     safe_lpdf = jnp.maximum(ls["pdf"], 1e-20)
     w_mis = warps.power_heuristic(1, ls["pdf"], 1, spdf)
@@ -284,11 +300,13 @@ def path_mis_weight(scene: sc.SceneData, lidx, selpdf, pos, wi2, pdf2,
 
 
 def uniform_sample_one_light(scene: sc.SceneData, hit: sc.Hit,
-                             bsdf: sl.BsdfSlots, wo, u_select, ulight):
+                             bsdf: sl.BsdfSlots, wo, u_select, ulight,
+                             n_alive=None, textures=None):
     """ref: scene.rs:58-66.  Returns (direct, lidx, selpdf): the
     light-branch contribution (already divided by the selection pdf)
     plus the sampled light id / selection pdf the integrator needs to
     finish the deferred bsdf branch via path_mis_weight."""
     lidx, selpdf = sample_one_light(scene, u_select)
-    term = light_branch(scene, hit, bsdf, wo, lidx, ulight)
+    term = light_branch(scene, hit, bsdf, wo, lidx, ulight,
+                        n_alive=n_alive, textures=textures)
     return (term / jnp.maximum(selpdf, 1e-20)[..., None], lidx, selpdf)

@@ -392,7 +392,8 @@ def trace_wave_bpt(scene: sc.SceneData, camera: cam.CameraData,
     lidx, l_choice_pdf = sample_discrete(
         as_jax(scene.light_distribution), u_sel)
     gp = emi.generate_path(scene, lidx, ws.u2(_LIGHT_WALK_BASE),
-                           ws.u2(_LIGHT_WALK_BASE + 2))
+                           ws.u2(_LIGHT_WALK_BASE + 2),
+                           textures=config.textures)
     light_delta_origin = ((scene.lights.ltype[lidx] == sc.L_POINT)
                           | (scene.lights.ltype[lidx] == sc.L_SPOT)
                           | (scene.lights.ltype[lidx] == sc.L_DISTANT))
@@ -429,7 +430,6 @@ def trace_wave_bpt(scene: sc.SceneData, camera: cam.CameraData,
     splat_L: List = []
     splat_valid: List = []
 
-    light_emission = scene.lights.emission
 
     for t in range(2, n_cam + 2):
         for s in range(0, n_light + 2):
@@ -439,7 +439,8 @@ def trace_wave_bpt(scene: sc.SceneData, camera: cam.CameraData,
             if s == 0:
                 # camera path hit a light directly
                 is_light = pt["valid"] & (pt["light_id"] >= 0)
-                le = light_emission[jnp.maximum(pt["light_id"], 0)]
+                le = sc.light_emission(scene.lights, pt["light_id"],
+                                       pt["uv"], config.textures)
                 c = pt["beta"] * le
                 w = mis_weight(scene, config, camera, resolution,
                                cam_vs, light_vs, s, t,

@@ -58,6 +58,26 @@ class RenderConfig:
         return self.max_depth // 2
 
 
+def _compact_perm(alive):
+    """Stable alive-first permutation + live count.
+
+    Dead lanes are moved to the back of the wave so the cluster
+    intersector can skip whole ray tiles past n_alive (the TPU
+    equivalent of the reference's per-ray early loop exit,
+    pt.rs:97-101).  A cumsum-scatter builds the permutation without a
+    sort; the per-ray counter-based sampler makes reordering free
+    (keys travel with the lanes)."""
+    n = alive.shape[0]
+    ai = alive.astype(jnp.int32)
+    n_alive = jnp.sum(ai)
+    pos_alive = jnp.cumsum(ai) - 1
+    pos_dead = n_alive + jnp.cumsum(1 - ai) - 1
+    dst = jnp.where(alive, pos_alive, pos_dead)
+    perm = jnp.zeros((n,), jnp.int32).at[dst].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return perm, n_alive
+
+
 def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
                config: RenderConfig, pixel_xy, pixel_id, sample_id,
                base_key):
@@ -97,8 +117,24 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
     alive = o[:, 0] == o[:, 0]
     specular = o[:, 0] != o[:, 0]
 
-    def bounce_step(bounce, o, d, L, beta, alive, specular, cone_w,
-                    sel_prev, wb_prev, nee_prev):
+    # per-lane sampler state travels with the lane under compaction
+    sampler_is_sobol = config.sampler == "sobol"
+
+    def draw1(st, dim):
+        if sampler_is_sobol:
+            from arendur_tpu.sampling.sobol import sobol_uniform
+            return sobol_uniform(config.sobol_table, base_key,
+                                 st["pid"], st["sid"], dim)
+        return smp.uniform_1d(st["keys"], dim)
+
+    def draw2(st, dim):
+        if sampler_is_sobol:
+            from arendur_tpu.sampling.sobol import sobol_uniform_2d
+            return sobol_uniform_2d(config.sobol_table, base_key,
+                                    st["pid"], st["sid"], dim)
+        return smp.uniform_2d(st["keys"], dim)
+
+    def bounce_step(bounce, carry):
         """One path-tracing bounce; `bounce` may be a traced scalar.
 
         sel_prev/wb_prev/nee_prev carry the previous vertex's deferred
@@ -106,8 +142,18 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         the MIS bsdf sample, so hitting the previously-selected light
         here collects the bsdf-branch term without the reference's
         third full scene query per bounce (scene.rs:146-155)."""
+        # compact dead lanes to the back so the cluster kernel skips
+        # their ray tiles entirely (identity at bounce 0)
+        perm, n_alive = _compact_perm(carry["alive"])
+        carry = jax.tree.map(lambda a: a[perm], carry)
+        (o, d, L, beta, alive, specular, cone_w, sel_prev, wb_prev,
+         nee_prev, st) = (carry["o"], carry["d"], carry["L"],
+                          carry["beta"], carry["alive"],
+                          carry["specular"], carry["cone_w"],
+                          carry["sel_prev"], carry["wb_prev"],
+                          carry["nee_prev"], carry["st"])
         dim0 = smp.BOUNCE_DIM_BASE + bounce * smp.DIMS_PER_BOUNCE
-        hit = sc.intersect(scene, o, d)
+        hit = sc.intersect(scene, o, d, n_alive=n_alive)
         lane_active = alive & hit.hit
 
         # (2) emitted radiance (ref: pt.rs:72-78; le() via the
@@ -123,7 +169,8 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         w_emit = jnp.where((bounce == 0) | specular, 1.0, 0.0) \
             + jnp.where(nee_prev & (hit.light_id == sel_prev),
                         wb_prev, 0.0)
-        le = scene.lights.emission[jnp.maximum(hit.light_id, 0)]
+        le = sc.light_emission(scene.lights, hit.light_id, hit.uv,
+                               config.textures)
         L = L + jnp.where(emit_gate[..., None], w_emit[..., None]
                           * beta * le, 0.0)
 
@@ -146,15 +193,16 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         # (ref: pt.rs:85-91; note FresnelBxdf *does* match because its
         # kind includes R|T bits)
         do_nee = lane_active & (sl.match_count(bsdf, ALL_NON_SPECULAR) > 0)
-        u_sel = ws.u1(dim0 + smp.DIM_LIGHT_SELECT)
-        u_light = ws.u2(dim0 + smp.DIM_LIGHT_U)
+        u_sel = draw1(st, dim0 + smp.DIM_LIGHT_SELECT)
+        u_light = draw2(st, dim0 + smp.DIM_LIGHT_U)
         direct, lidx, selpdf = nee.uniform_sample_one_light(
-            scene, hit, bsdf, wo, u_sel, u_light)
+            scene, hit, bsdf, wo, u_sel, u_light, n_alive=n_alive,
+            textures=config.textures)
         L = L + jnp.where(do_nee[..., None], beta * direct, 0.0)
 
         # (4) bsdf sample for path continuation (ref: pt.rs:92-103);
         # it doubles as the MIS bsdf-branch sample (path_mis_weight)
-        u_bsdf = ws.u2(dim0 + smp.DIM_BSDF_U)
+        u_bsdf = draw2(st, dim0 + smp.DIM_BSDF_U)
         f, wi, pdf, kind = sl.bsdf_sample(bsdf, wo, u_bsdf, ALL)
         cont = lane_active & ~spec.is_black(f) & (pdf > 0.0)
         specular = jnp.where(lane_active, (kind & SPECULAR) != 0,
@@ -181,35 +229,35 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         # (5) russian roulette (ref: pt.rs:117-122)
         lum = spec.luminance(beta)
         q = max(config.rr_threshold, 0.05)
-        u_rr = ws.u1(dim0 + smp.DIM_RR)
+        u_rr = draw1(st, dim0 + smp.DIM_RR)
         rr_active = (bounce + 1) >= config.min_depth
         roulette = rr_active & (lum < config.rr_threshold)
         killed = roulette & (u_rr < q)
         beta = jnp.where((roulette & ~killed)[..., None],
                          beta / (1.0 - q), beta)
         alive = alive & ~killed
-        return (o, d, L, beta, alive, specular, cone_w, sel_prev,
-                wb_prev, nee_prev)
+        return dict(o=o, d=d, L=L, beta=beta, alive=alive,
+                    specular=specular, cone_w=cone_w,
+                    sel_prev=sel_prev, wb_prev=wb_prev,
+                    nee_prev=nee_prev, st=st)
 
-    cone_w = jnp.zeros((n,), jnp.float32) + o[:, 0] * 0.0
-    sel_prev = jnp.zeros((n,), jnp.int32) + (o[:, 0] * 0.0).astype(
-        jnp.int32)
-    wb_prev = jnp.zeros((n,), jnp.float32) + o[:, 0] * 0.0
-    nee_prev = o[:, 0] != o[:, 0]
-    carry = (o, d, L, beta, alive, specular, cone_w, sel_prev, wb_prev,
-             nee_prev)
+    zf = o[:, 0] * 0.0
+    zi = zf.astype(jnp.int32)
+    st = dict(keys=ws.keys, pid=pixel_id + zi, sid=sample_id + zi,
+              orig=jnp.arange(n, dtype=jnp.int32) + zi)
+    carry = dict(o=o, d=d, L=L, beta=beta, alive=alive,
+                 specular=specular, cone_w=zf + 0.0, sel_prev=zi + 0,
+                 wb_prev=zf + 0.0, nee_prev=o[:, 0] != o[:, 0], st=st)
     if config.unroll_bounces:
         for bounce in range(config.max_depth):
-            carry = bounce_step(bounce, *carry)
+            carry = bounce_step(bounce, carry)
     else:
         def scan_body(carry, bounce):
-            return bounce_step(bounce, *carry), None
+            return bounce_step(bounce, carry), None
 
         carry, _ = jax.lax.scan(
             scan_body, carry,
             jnp.arange(config.max_depth, dtype=jnp.int32))
-    (o, d, L, beta, alive, specular, cone_w, sel_prev, wb_prev,
-     nee_prev) = carry
 
     # final deferred-MIS collection: the reference's evaluate_direct at
     # the LAST vertex still runs its bsdf-branch re-intersection
@@ -217,14 +265,24 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
     # traced (pt.rs loop bound) — one extra closest-hit completes the
     # estimator.  The specular-flag emission term is NOT collected here
     # (the reference's loop exits before sampling vertex max_depth).
-    need = alive & nee_prev
+    need = carry["alive"] & carry["nee_prev"]
     if config.max_depth > 0:
-        hit_f = sc.intersect(scene, o, d)
+        perm, n_need = _compact_perm(need)
+        carry = jax.tree.map(lambda a: a[perm], carry)
+        need = need[perm]
+        hit_f = sc.intersect(scene, carry["o"], carry["d"],
+                             n_alive=n_need)
         gate = need & hit_f.hit & (hit_f.light_id >= 0) \
-            & (hit_f.light_id == sel_prev)
-        le_f = scene.lights.emission[jnp.maximum(hit_f.light_id, 0)]
-        L = L + jnp.where(gate[..., None], wb_prev[..., None] * beta
-                          * le_f, 0.0)
+            & (hit_f.light_id == carry["sel_prev"])
+        le_f = sc.light_emission(scene.lights, hit_f.light_id,
+                                 hit_f.uv, config.textures)
+        carry["L"] = carry["L"] + jnp.where(
+            gate[..., None], carry["wb_prev"][..., None]
+            * carry["beta"] * le_f, 0.0)
+
+    # restore the original lane order (compaction permuted the wave)
+    L = jnp.zeros((n, 3), jnp.float32).at[carry["st"]["orig"]].set(
+        carry["L"])
 
     # invalid radiance becomes black, as the renderer does before
     # add_sample (pt.rs:152-156)

@@ -38,7 +38,8 @@ def whitted_wave(scene: sc.SceneData, camera: cam.CameraData, config,
     hit = sc.intersect(scene, o, d)
     wo = -d
 
-    le = scene.lights.emission[jnp.maximum(hit.light_id, 0)]
+    le = sc.light_emission(scene.lights, hit.light_id, hit.uv,
+                           getattr(config, "textures", None))
     L = jnp.where((hit.hit & (hit.light_id >= 0))[..., None], le, 0.0)
 
     bsdf = mats.compute_scattering(

@@ -43,10 +43,36 @@ class LightTable:
     pos: jnp.ndarray       # [L,3] position (point/spot) or direction (distant)
     aux: jnp.ndarray       # [L,3] spot axis
     params: jnp.ndarray    # [L,4] cos_total/cos_falloff (spot), wradius
+    # [L] atlas texture id of the area-light emission profile (-1 =
+    # constant).  The reference evaluates the profile texture at the
+    # hit/sample point (component/shape.rs:91-130,
+    # shape/triangle.rs:541-626); `emission` holds the constant factor.
+    emission_tex: jnp.ndarray = None
 
     @property
     def count(self):
         return self.ltype.shape[0]
+
+
+def emission_tex_factor(lights: LightTable, lidx, uv, textures=None):
+    """Emission-profile texture factor at uv [N,2] (white when the
+    light has no profile texture).  Ref: the per-hit texture lookup in
+    component/shape.rs:115-129, shape/triangle.rs:541-626."""
+    li = jnp.maximum(lidx, 0)
+    if textures is None or lights.emission_tex is None:
+        return jnp.ones(uv.shape[:-1] + (3,), jnp.float32)
+    from arendur_tpu.texturing.texture import eval_rgb
+    tex_id = lights.emission_tex[li]
+    return eval_rgb(textures, tex_id, uv,
+                    jnp.ones(uv.shape[:-1] + (3,), jnp.float32))
+
+
+def light_emission(lights: LightTable, lidx, uv, textures=None):
+    """Emitted radiance of light lidx [N] at surface uv [N,2]:
+    constant part x emission-profile texture."""
+    li = jnp.maximum(lidx, 0)
+    return lights.emission[li] * emission_tex_factor(
+        lights, lidx, uv, textures)
 
 
 @struct.dataclass
@@ -65,9 +91,14 @@ class SceneData:
     spheres: sph.SphereSoA
     materials: MaterialTable
     lights: LightTable
-    light_distribution: Distribution1D
     bvh: Optional[bvhmod.BVH] = None
-    tri_mxu_w: Optional[jnp.ndarray] = None  # [C,16,4*chunk] MXU weights
+    # cluster-culled MXU intersector tables (accel/clusters.py):
+    # tri_cw [C,16,4K] per-cluster determinant weights, tri_cbox [C,8]
+    # cluster AABBs, tri_remap [C*K] slot -> original triangle id
+    tri_cw: Optional[jnp.ndarray] = None
+    tri_cbox: Optional[jnp.ndarray] = None
+    tri_remap: Optional[jnp.ndarray] = None
+    light_distribution: Distribution1D = None
 
     @property
     def n_tris(self):
@@ -124,7 +155,8 @@ class SceneBuilder:
         return len(self.material_rows) - 1
 
     def add_mesh(self, vertices, faces, mat_id: int, normals=None,
-                 uvs=None, transform=None, emission=None):
+                 uvs=None, transform=None, emission=None,
+                 emission_tex: int = -1, emission_tex_mean=1.0):
         """Add a triangle mesh.  vertices [V,3], faces [F,3] int.
         transform: optional 4x4 (row-layout, projective divide applied
         like the reference's from_model_transformed)."""
@@ -163,7 +195,9 @@ class SceneBuilder:
                 light_ids[i] = len(self.light_rows)
                 self.light_rows.append(dict(
                     ltype=L_AREA_TRI, prim=base_tri + i,
-                    emission=tuple(emission)))
+                    emission=tuple(emission),
+                    emission_tex=emission_tex,
+                    tex_mean=emission_tex_mean))
         self.tv0.append(p0)
         self.tv1.append(p1)
         self.tv2.append(p2)
@@ -177,7 +211,8 @@ class SceneBuilder:
         self.tlight.append(light_ids)
 
     def add_sphere(self, radius, zmin, zmax, phimax, mat_id: int,
-                   transform=None, emission=None):
+                   transform=None, emission=None,
+                   emission_tex: int = -1, emission_tex_mean=1.0):
         o2w = (np.eye(4, dtype=np.float32) if transform is None
                else np.asarray(transform, np.float32))
         light_id = -1
@@ -185,7 +220,9 @@ class SceneBuilder:
             light_id = len(self.light_rows)
             self.light_rows.append(dict(
                 ltype=L_AREA_SPHERE, prim=len(self.sphere_rows),
-                emission=tuple(emission)))
+                emission=tuple(emission),
+                emission_tex=emission_tex,
+                tex_mean=emission_tex_mean))
         self.sphere_rows.append(dict(
             o2w=o2w, radius=radius, zmin=zmin, zmax=zmax, phimax=phimax,
             mat_id=mat_id, light_id=light_id))
@@ -214,7 +251,8 @@ class SceneBuilder:
         (ref: scene.rs:36-44; area power = mean*area*pi,
         component/shape.rs:160-167)."""
         # pure-NumPy luminance: scene parse must not touch the device
-        e = np.asarray(row["emission"], np.float32)
+        e = np.asarray(row["emission"], np.float32) \
+            * float(row.get("tex_mean", 1.0))
         lum = float(e @ np.asarray([0.212671, 0.715160, 0.072169],
                                    np.float32))
         lt = row["ltype"]
@@ -234,10 +272,21 @@ class SceneBuilder:
         return lum
 
     def build(self, use_bvh: bool = False,
-              intersector: str = "mxu") -> SceneData:
-        """intersector: "mxu" (MXU matmul path, TPU default) or
-        "naive" (VPU watertight wavefront); use_bvh adds a BVH used
-        when tri_mxu_w is absent."""
+              intersector: str = "cluster") -> SceneData:
+        """intersector selects the production triangle-intersection
+        structure (the honest ``--intersector`` CLI switch):
+
+        * "cluster" (default): SAH-cluster-culled MXU tables
+          (accel/clusters.py; Pallas kernel on TPU, plain-XLA matmul
+          on CPU);
+        * "bvh": per-ray stack BVH traversal (accel/bvh.py);
+        * "naive": brute-force watertight wavefront (shapes/triangle).
+
+        use_bvh=True additionally builds the BVH object (test oracle)
+        without making it the production path.
+        """
+        if intersector == "mxu":          # legacy alias
+            intersector = "cluster"
         cat = lambda lst, d: (np.concatenate(lst, 0) if lst
                               else np.zeros((0,) + d, np.float32))
         v0 = cat(self.tv0, (3,))
@@ -297,6 +346,7 @@ class SceneBuilder:
         lpos = np.zeros((nl, 3), np.float32)
         laux = np.zeros((nl, 3), np.float32)
         lpar = np.zeros((nl, 4), np.float32)
+        letex = np.full(nl, -1, np.int32)
         powers = np.zeros(nl, np.float32)
         for i, row in enumerate(self.light_rows):
             lt[i] = row["ltype"]
@@ -305,10 +355,11 @@ class SceneBuilder:
             lpos[i] = row.get("pos", (0, 0, 0))
             laux[i] = row.get("aux", (0, 0, 1))
             lpar[i] = row.get("params", (0, 0, 0, 0))
+            letex[i] = row.get("emission_tex", -1)
             powers[i] = self._light_power(row, tri_areas, sphere_areas)
         lights = LightTable(
             ltype=lt, prim=lprim, emission=lem, pos=lpos,
-            aux=laux, params=lpar)
+            aux=laux, params=lpar, emission_tex=letex)
 
         if not self.material_rows:
             self.material_rows.append(dict(mtype=0, kd=(0.5, 0.5, 0.5)))
@@ -317,18 +368,17 @@ class SceneBuilder:
             np.concatenate(lst, 0).astype(dt) if lst
             else np.zeros((0,) + d, dt))
         bvh = None
-        if use_bvh and len(v0) > 0:
+        if (use_bvh or intersector == "bvh") and len(v0) > 0:
             bvh = bvhmod.build_bvh(v0, v1, v2)
-        mxu_w = None
-        if intersector == "mxu" and len(v0) > 0:
-            # round up to a 256-lane multiple (not the next power of
-            # two): a 1112-tri scene tests 1280 columns, not 2048
-            chunk = min(mxi.DEFAULT_CHUNK,
-                        max(128, -(-len(v0) // 256) * 256))
-            mxu_w = mxi.pack_chunks(v0, v1, v2, chunk=chunk)
+        cw = cbox = remap = None
+        if intersector == "cluster" and len(v0) > 0:
+            from arendur_tpu.accel.clusters import build_clusters
+            tabs = build_clusters(v0, v1, v2)
+            cw, cbox, remap = (tabs["w_chunks"], tabs["cbox"],
+                               tabs["remap"])
         return SceneData(
             bvh=bvh,
-            tri_mxu_w=mxu_w,
+            tri_cw=cw, tri_cbox=cbox, tri_remap=remap,
             tri_v0=v0, tri_v1=v1, tri_v2=v2,
             tri_n0=catf(self.tn0, (3,)),
             tri_n1=catf(self.tn1, (3,)),
@@ -367,25 +417,53 @@ def _use_pallas_intersect() -> bool:
         return False
 
 
-def intersect(scene: SceneData, o, d, tmax=None) -> Hit:
+def _bary_from_vertices(o, d, v0, v1, v2):
+    """Recompute the winning triangle's barycentrics from its vertices
+    (Moller form of the determinant math in mxu_intersect.py): an O(N)
+    per-ray pass replacing O(N*T) extraction sweeps in the kernel."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pvec = cross(d, e2)
+    det = dot(e1, pvec)
+    inv = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+    tvec = o - v0
+    u = dot(tvec, pvec) * inv
+    v = dot(d, cross(tvec, e1)) * inv
+    return 1.0 - u - v, u
+
+
+def intersect(scene: SceneData, o, d, tmax=None, n_alive=None) -> Hit:
     """Closest-hit of N rays against the whole scene, with full
     shading info (the wavefront Composable::intersect_ray +
-    SurfaceInteraction construction)."""
+    SurfaceInteraction construction).
+
+    n_alive: optional traced scalar — rays at positions >= n_alive
+    (the integrator compacts dead lanes to the back) are reported as
+    misses and skipped by the cluster kernel.
+    """
     from arendur_tpu.geometry.vec import as_jax
     scene = as_jax(scene)
     n = o.shape[0]
     if tmax is None:
         tmax = jnp.full((n,), jnp.inf, jnp.float32)
 
-    if scene.tri_mxu_w is not None:
-        chunk = scene.tri_mxu_w.shape[-1] // 4
+    if scene.tri_cw is not None:
+        k = scene.tri_cw.shape[-1] // 4
         if _use_pallas_intersect():
             from arendur_tpu.shapes import pallas_intersect as pli
-            t_tri, tri_idx, b0, b1 = pli.intersect_pallas(
-                scene.tri_mxu_w, o, d, tmax, scene.n_tris, chunk=chunk)
+            t_tri, slot = pli.intersect_clusters(
+                scene.tri_cw, scene.tri_cbox, o, d, tmax,
+                n_alive=n_alive)
         else:
-            t_tri, tri_idx, b0, b1 = mxi.intersect_mxu(
-                scene.tri_mxu_w, o, d, tmax, scene.n_tris, chunk=chunk)
+            t_tri, slot, _, _ = mxi.intersect_mxu(
+                scene.tri_cw, o, d, tmax,
+                scene.tri_cw.shape[0] * k, chunk=k)
+        tri_idx = jnp.where(slot >= 0,
+                            scene.tri_remap[jnp.maximum(slot, 0)], -1)
+        ti_b = jnp.maximum(tri_idx, 0)
+        b0, b1 = _bary_from_vertices(
+            o, d, scene.tri_v0[ti_b], scene.tri_v1[ti_b],
+            scene.tri_v2[ti_b])
     elif scene.bvh is not None:
         t_tri, tri_idx, b0, b1 = bvhmod.intersect_bvh(
             scene.bvh, scene.tri_v0, scene.tri_v1, scene.tri_v2,
@@ -465,19 +543,21 @@ def intersect(scene: SceneData, o, d, tmax=None) -> Hit:
                            -1).astype(jnp.int32))
 
 
-def occluded(scene: SceneData, o, d, tmax) -> jnp.ndarray:
+def occluded(scene: SceneData, o, d, tmax, n_alive=None) -> jnp.ndarray:
     """Any-hit query for shadow rays."""
     from arendur_tpu.geometry.vec import as_jax
     scene = as_jax(scene)
-    if scene.tri_mxu_w is not None:
-        chunk = scene.tri_mxu_w.shape[-1] // 4
+    if scene.tri_cw is not None:
+        k = scene.tri_cw.shape[-1] // 4
         if _use_pallas_intersect():
             from arendur_tpu.shapes import pallas_intersect as pli
-            blocked_t = pli.occluded_pallas(
-                scene.tri_mxu_w, o, d, tmax, scene.n_tris, chunk=chunk)
+            blocked_t = pli.occluded_clusters(
+                scene.tri_cw, scene.tri_cbox, o, d, tmax,
+                n_alive=n_alive)
         else:
             blocked_t = mxi.occluded_mxu(
-                scene.tri_mxu_w, o, d, tmax, scene.n_tris, chunk=chunk)
+                scene.tri_cw, o, d, tmax,
+                scene.tri_cw.shape[0] * k, chunk=k)
     elif scene.bvh is not None:
         t_tri, tri_idx, _, _ = bvhmod.intersect_bvh(
             scene.bvh, scene.tri_v0, scene.tri_v1, scene.tri_v2,

@@ -92,18 +92,32 @@ def ray_features(o, d):
     return jnp.concatenate([o, d, outer, ones], axis=-1)
 
 
-def _accept(det, tdet, udet, vdet, tmax):
-    """Masked accept + t from the four determinants."""
-    eps_d = 1e-12
-    ok = jnp.abs(det) > eps_d
-    inv = 1.0 / jnp.where(ok, det, 1.0)
-    t = tdet * inv
-    u = udet * inv
-    v = vdet * inv
-    tol = 1e-6
-    hit = (ok & (u >= -tol) & (v >= -tol) & (u + v <= 1.0 + tol)
-           & (t > 1e-5) & (t < tmax[:, None]))
-    return hit, t, u, v
+def ray_teps(o):
+    """Per-ray self-hit guard epsilon, scaled with the ray origin's
+    magnitude so off-origin scenes keep working (scale-robust form of
+    the reference's conservative bound, triangle.rs:431-451)."""
+    return 1e-5 * (1.0 + jnp.max(jnp.abs(o), axis=-1))
+
+
+def _accept(det, tdet, udet, vdet, tmax, teps):
+    """Masked accept + t from the four determinants.  teps [N]: per-ray
+    relative t epsilon (ray_teps).
+
+    The barycentric bounds are tested in determinant space (u >= -tol
+    becomes u*det >= -tol*|det|) with the exact op sequence of the
+    Pallas kernel's accept — the cluster parity tests require the two
+    paths to agree bit-for-bit on the same backend."""
+    s = jnp.where(det >= 0.0, 1.0, -1.0)
+    a = det * s
+    ok = a > 1e-12
+    us = udet * s
+    vs = vdet * s
+    ta = a * 1e-6
+    okb = (us >= -ta) & (vs >= -ta) & (us + vs <= a + ta)
+    inv = 1.0 / jnp.where(ok, a, 1.0)
+    t = (tdet * s) * inv
+    hit = (ok & okb & (t > teps[:, None]) & (t < tmax[:, None]))
+    return hit, t, us * inv, vs * inv
 
 
 def intersect_mxu(w_chunks, o, d, tmax, t_count: int,
@@ -119,6 +133,7 @@ def intersect_mxu(w_chunks, o, d, tmax, t_count: int,
     w_chunks = jnp.asarray(w_chunks)
     n = o.shape[0]
     feats = ray_features(o, d)
+    teps = ray_teps(o)
     tie = o[:, 0] * 0.0
     init = (
         tmax.astype(jnp.float32) + tie,
@@ -136,7 +151,7 @@ def intersect_mxu(w_chunks, o, d, tmax, t_count: int,
         tdet = quad[:, 1 * chunk:2 * chunk]
         udet = quad[:, 2 * chunk:3 * chunk]
         vdet = quad[:, 3 * chunk:4 * chunk]
-        hit, t, u, v = _accept(det, tdet, udet, vdet, best_t)
+        hit, t, u, v = _accept(det, tdet, udet, vdet, best_t, teps)
         ids = base + jnp.arange(chunk, dtype=jnp.int32)
         valid = hit & (ids[None, :] < t_count)
         t_masked = jnp.where(valid, t, jnp.inf)
@@ -160,6 +175,7 @@ def occluded_mxu(w_chunks, o, d, tmax, t_count: int,
     w_chunks = jnp.asarray(w_chunks)
     n = o.shape[0]
     feats = ray_features(o, d)
+    teps = ray_teps(o)
     base_ids = (jnp.arange(w_chunks.shape[0]) * chunk).astype(jnp.int32)
 
     def body(blocked, inp):
@@ -168,7 +184,7 @@ def occluded_mxu(w_chunks, o, d, tmax, t_count: int,
         hit, t, u, v = _accept(
             quad[:, 0 * chunk:1 * chunk], quad[:, 1 * chunk:2 * chunk],
             quad[:, 2 * chunk:3 * chunk], quad[:, 3 * chunk:4 * chunk],
-            tmax)
+            tmax, teps)
         ids = base + jnp.arange(chunk, dtype=jnp.int32)
         return blocked | jnp.any(hit & (ids[None, :] < t_count), -1), None
 

@@ -1,24 +1,35 @@
-"""Fused Pallas closest-hit / any-hit kernels over the MXU
-intersection formulation (see mxu_intersect.py for the math).
+"""Fused Pallas closest-hit / any-hit kernels over the cluster-packed
+MXU intersection formulation (see mxu_intersect.py for the math and
+accel/clusters.py for the SAH cluster cut).
 
-Why a kernel: the XLA path materializes the [N, 4*chunk] determinant
-matrix in HBM every scan step (~2 GB per query at wave 64k x chunk
-2048) and then reads it back for the accept/argmin pass — the render
-is HBM-bound on an intermediate that never needs to exist.  Here the
-matmul runs on the MXU with its output staying in VMEM; the accept
-test, the per-chunk lane reduction and the running ray-wise best all
-fuse into the same kernel, so HBM traffic per (ray-tile, tri-chunk)
-grid step is just the W block (streamed once per ray tile) plus an
-[RN, 8] accumulator that Pallas keeps resident in VMEM across the
-chunk-sequential grid steps.
+Why a kernel: the XLA path materializes the [N, 4K] determinant
+matrix in HBM every scan step and reads it back for the accept/argmin
+pass — the render is HBM-bound on an intermediate that never needs to
+exist.  Here the matmul runs on the MXU with its output staying in
+VMEM; the accept test, the per-cluster lane reduction and the running
+ray-wise best all fuse into the same kernel.
 
-Layout: grid = (n_ray_tiles, n_tri_chunks); the triangle dimension is
-innermost so the output block (indexed by ray tile only) is revisited
-consecutively — the canonical Pallas reduction pattern.
+Two-level culling (the TPU re-shaping of the reference's BVH walk,
+ref: src/component/bvh.rs:97-146):
+
+* grid = (ray_tiles, clusters), cluster innermost so the per-tile
+  output block stays resident in VMEM across clusters;
+* every (tile, cluster) step slab-tests the tile's rays against the
+  cluster AABB (ref: bbox.rs:549-592's cached test, vectorized) using
+  each ray's *current best t* as the far bound — clusters behind an
+  already-found hit are skipped (dynamic occlusion culling, the
+  analogue of the reference's ``tn < ray.tmax`` stack prune);
+* the [RN,16] @ [16,4K] determinant matmul and the accept/min
+  reduction only run under ``@pl.when`` for surviving clusters;
+* ray tiles entirely past ``n_alive`` (the integrator compacts dead
+  lanes to the back of the wave) skip everything.
 
 Outputs are packed in one f32 [N, 8] array: col 0 = best t, col 1 =
-best triangle id (exact in f32 up to 2^24 triangles), col 2 = b0,
-col 3 = b1; cols 4-7 pad the store to a friendlier lane count.
+best *slot* id (cluster*K + lane; the caller maps slots to original
+triangle ids via the cluster remap table), cols 2-7 pad the store to
+a friendly lane count.  Barycentrics of the winning triangle are
+recomputed outside the kernel from its vertices (O(N) instead of
+O(N*T) extraction passes).
 
 Reference semantics mirrored: closest-hit with conservative epsilon
 acceptance (triangle.rs:397-484's watertight test, epsilon form — see
@@ -35,176 +46,217 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-import os
-
 from arendur_tpu.shapes.mxu_intersect import ray_features
 
 _BIG = 3.0e38
-
-# tuning knobs (see tools/tune_intersect.py): ray-tile override and
-# matmul precision for the determinant matmul
-_RAY_TILE_OVERRIDE = None
+_G3 = 3.0 * 2.0 ** -24 / (1.0 - 3.0 * 2.0 ** -24)
+_RAY_TILE = 256
 
 
-def _precision():
-    name = os.environ.get("ARENDUR_MXU_PRECISION", "highest")
-    return {"highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH,
-            "default": jax.lax.Precision.DEFAULT}[name]
+def _slab_hit(feats, cbox_ref, j, tfar_bound):
+    """[RN,1] mask: ray segment may intersect cluster j's AABB within
+    (0, tfar_bound) (tfar_bound [RN,1] = per-ray current best t).
+    Per-axis scalar reads of the cluster box keep every intermediate
+    2D (Mosaic-friendly)."""
+    tn = None
+    tf = None
+    for ax in range(3):
+        oa = feats[:, ax:ax + 1]
+        da = feats[:, 3 + ax:4 + ax]
+        # guarded inverse: huge-but-finite so 0*inv stays finite
+        inv = jnp.where(jnp.abs(da) < 1e-30,
+                        jnp.where(da < 0.0, -1e30, 1e30), 1.0 / da)
+        t0 = (cbox_ref[j, ax] - oa) * inv
+        t1 = (cbox_ref[j, 3 + ax] - oa) * inv
+        lo = jnp.minimum(t0, t1)
+        hi = jnp.maximum(t0, t1)
+        tn = lo if tn is None else jnp.maximum(tn, lo)
+        tf = hi if tf is None else jnp.minimum(tf, hi)
+    tf = tf * (1.0 + 2.0 * _G3)
+    return (tn <= tf) & (tf > 0.0) & (tn < tfar_bound)
 
 
-def _quad_parts(feats, w_ref, chunk):
-    """[RN,16] @ [16,4C] on the MXU; returns det/tdet/udet/vdet
-    [RN, C] slices (blocked column layout, see pack_chunks)."""
-    quad = jnp.dot(feats, w_ref[:], preferred_element_type=jnp.float32,
-                   precision=_precision())
-    det = quad[:, 0 * chunk:1 * chunk]
-    tdet = quad[:, 1 * chunk:2 * chunk]
-    udet = quad[:, 2 * chunk:3 * chunk]
-    vdet = quad[:, 3 * chunk:4 * chunk]
-    return det, tdet, udet, vdet
+def _accept(quad, aux, best_t, k: int):
+    """Lean accept: (valid [RN,K], t [RN,K]).  aux col 1 = per-ray
+    relative t epsilon (scale-robust self-hit guard, ref:
+    triangle.rs:431-451's conservative bound)."""
+    det = quad[:, 0 * k:1 * k]
+    tdet = quad[:, 1 * k:2 * k]
+    udet = quad[:, 2 * k:3 * k]
+    vdet = quad[:, 3 * k:4 * k]
+    s = jnp.where(det >= 0.0, 1.0, -1.0)
+    a = det * s
+    ok = a > 1e-12            # degenerate/padded columns (det==0)
+    us = udet * s
+    vs = vdet * s
+    ta = a * 1e-6
+    okb = (us >= -ta) & (vs >= -ta) & (us + vs <= a + ta)
+    inv = 1.0 / jnp.where(ok, a, 1.0)
+    t = (tdet * s) * inv
+    teps = aux[:, 1:2]
+    okt = (t > teps) & (t < best_t)
+    return ok & okb & okt, t
 
 
-def _accept(det, tdet, udet, vdet, best_t):
-    """Same acceptance rule as mxu_intersect._accept."""
-    eps_d = 1e-12
-    ok = jnp.abs(det) > eps_d
-    inv = 1.0 / jnp.where(ok, det, 1.0)
-    t = tdet * inv
-    u = udet * inv
-    v = vdet * inv
-    tol = 1e-6
-    hit = (ok & (u >= -tol) & (v >= -tol) & (u + v <= 1.0 + tol)
-           & (t > 1e-5) & (t < best_t))
-    return hit, t, u, v
-
-
-def _closest_kernel(feats_ref, tmax_ref, w_ref, out_ref, *,
-                    chunk: int, t_count: int):
+def _closest_kernel(feats_ref, aux_ref, cbox_ref, w_ref, out_ref, *,
+                    k: int, rn: int):
+    i = pl.program_id(0)
     j = pl.program_id(1)
-    is_first = j == 0
-    cur = out_ref[:]                     # garbage at j==0, masked below
-    best_t = jnp.where(is_first, tmax_ref[:, 0:1], cur[:, 0:1])
-    best_id = jnp.where(is_first, -1.0, cur[:, 1:2])
-    best_b0 = jnp.where(is_first, 0.0, cur[:, 2:3])
-    best_b1 = jnp.where(is_first, 0.0, cur[:, 3:4])
 
-    det, tdet, udet, vdet = _quad_parts(feats_ref[:], w_ref, chunk)
-    hit, t, u, v = _accept(det, tdet, udet, vdet, best_t)
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = jnp.concatenate(
+            [aux_ref[:, 0:1], jnp.full((rn, 1), -1.0, jnp.float32),
+             jnp.zeros((rn, 6), jnp.float32)], axis=1)
 
-    rn = t.shape[0]
-    ids = (j * chunk
-           + jax.lax.broadcasted_iota(jnp.int32, (rn, chunk), 1))
-    valid = hit & (ids < t_count)
-    t_m = jnp.where(valid, t, _BIG)
-    tmin = jnp.min(t_m, axis=-1, keepdims=True)          # [RN,1]
-    # lowest-id winner among ties (deterministic closest-hit)
-    id_best = jnp.min(jnp.where(t_m <= tmin, ids, jnp.int32(2 ** 30)),
-                      axis=-1, keepdims=True)
-    sel = (ids == id_best) & valid
-    pick = lambda x: jnp.sum(jnp.where(sel, x, 0.0), axis=-1,
-                             keepdims=True)
+    best_t = out_ref[:, 0:1]
+    n_alive = aux_ref[0, 2].astype(jnp.int32)
+    tile_live = (i * rn) < n_alive
+    lane_ok = (i * rn + jax.lax.broadcasted_iota(
+        jnp.int32, (rn, 1), 0)) < n_alive
+    box = _slab_hit(feats_ref[:], cbox_ref, j, best_t) & lane_ok
 
-    # tmin == _BIG means "no valid hit this chunk" — must not beat an
-    # infinite tmax carried in best_t
-    better = (tmin < _BIG) & (tmin < best_t)
-    u_b = pick(u)
-    v_b = pick(v)
-    out_ref[:] = jnp.concatenate([
-        jnp.where(better, tmin, best_t),
-        jnp.where(better, id_best.astype(jnp.float32), best_id),
-        jnp.where(better, 1.0 - u_b - v_b, best_b0),
-        jnp.where(better, u_b, best_b1),
-        jnp.zeros((rn, 4), jnp.float32),
-    ], axis=1)
+    @pl.when(jnp.any(box) & tile_live)
+    def _test():
+        quad = jnp.dot(feats_ref[:], w_ref[:],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        valid, t = _accept(quad, aux_ref[:], best_t, k)
+        t_m = jnp.where(valid & box, t, _BIG)
+        tmin = jnp.min(t_m, axis=-1, keepdims=True)
+        ids = (j * k
+               + jax.lax.broadcasted_iota(jnp.int32, (rn, k), 1))
+        # lowest-slot winner among ties (deterministic closest-hit)
+        id_best = jnp.min(
+            jnp.where(t_m <= tmin, ids, jnp.int32(2 ** 30)),
+            axis=-1, keepdims=True)
+        cur = out_ref[:]
+        better = (tmin < _BIG) & (tmin < cur[:, 0:1])
+        out_ref[:] = jnp.concatenate(
+            [jnp.where(better, tmin, cur[:, 0:1]),
+             jnp.where(better, id_best.astype(jnp.float32),
+                       cur[:, 1:2]),
+             jnp.zeros((rn, 6), jnp.float32)], axis=1)
 
 
-def _anyhit_kernel(feats_ref, tmax_ref, w_ref, out_ref, *,
-                   chunk: int, t_count: int):
+def _anyhit_kernel(feats_ref, aux_ref, cbox_ref, w_ref, out_ref, *,
+                   k: int, rn: int):
+    i = pl.program_id(0)
     j = pl.program_id(1)
-    cur = jnp.where(j == 0, 0.0, out_ref[:, 0:1])
 
-    det, tdet, udet, vdet = _quad_parts(feats_ref[:], w_ref, chunk)
-    hit, _, _, _ = _accept(det, tdet, udet, vdet, tmax_ref[:, 0:1])
-    rn = det.shape[0]
-    ids = (j * chunk
-           + jax.lax.broadcasted_iota(jnp.int32, (rn, chunk), 1))
-    any_block = jnp.max(
-        jnp.where(hit & (ids < t_count), 1.0, 0.0), axis=-1,
-        keepdims=True)
-    out_ref[:] = jnp.broadcast_to(jnp.maximum(cur, any_block), (rn, 8))
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = jnp.zeros((rn, 8), jnp.float32)
+
+    blocked = out_ref[:, 0:1] > 0.5
+    n_alive = aux_ref[0, 2].astype(jnp.int32)
+    tile_live = (i * rn) < n_alive
+    lane_ok = (i * rn + jax.lax.broadcasted_iota(
+        jnp.int32, (rn, 1), 0)) < n_alive
+    tmax = aux_ref[:, 0:1]
+    box = _slab_hit(feats_ref[:], cbox_ref, j, tmax) & lane_ok
+
+    @pl.when(jnp.any(box & ~blocked) & tile_live)
+    def _test():
+        quad = jnp.dot(feats_ref[:], w_ref[:],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        valid, _ = _accept(quad, aux_ref[:], tmax, k)
+        any_b = jnp.max(jnp.where(valid & box, 1.0, 0.0), axis=-1,
+                        keepdims=True)
+        out_ref[:] = jnp.broadcast_to(
+            jnp.maximum(out_ref[:, 0:1], any_b), (rn, 8))
 
 
-def _ray_tile(chunk: int) -> int:
-    if _RAY_TILE_OVERRIDE is not None:
-        return _RAY_TILE_OVERRIDE
-    # keep the [RN, 4*chunk] matmul output ~<= 5 MB of VMEM
-    return 256 if chunk <= 1280 else 128
-
-
-def _pad_rays(feats, tmax, rn):
+def _pad_rays(feats, aux, rn):
     n = feats.shape[0]
     pad = (-n) % rn
     if pad:
         feats = jnp.concatenate(
             [feats, jnp.zeros((pad, feats.shape[1]), feats.dtype)], 0)
-        tmax = jnp.concatenate(
-            [tmax, jnp.zeros((pad,), tmax.dtype)], 0)
-    return feats, tmax, n
+        aux = jnp.concatenate(
+            [aux, jnp.zeros((pad, aux.shape[1]), aux.dtype)], 0)
+    return feats, aux, n
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("t_count", "chunk", "anyhit", "interpret"))
-def _run(w_chunks, feats, tmax, t_count: int, chunk: int,
-         anyhit: bool, interpret: bool):
-    n_chunks = w_chunks.shape[0]
-    rn = _ray_tile(chunk)
-    feats, tmax, n = _pad_rays(feats, tmax.astype(jnp.float32), rn)
+    jax.jit, static_argnames=("k", "anyhit", "interpret"))
+def _run(w_clusters, cbox, feats, aux, k: int, anyhit: bool,
+         interpret: bool):
+    c = w_clusters.shape[0]
+    rn = _RAY_TILE
+    feats, aux, n = _pad_rays(feats, aux, rn)
     np_ = feats.shape[0]
-    w_flat = w_chunks.reshape(n_chunks * 16, 4 * chunk)
+    w_flat = w_clusters.reshape(c * 16, 4 * k)
 
     kern = _anyhit_kernel if anyhit else _closest_kernel
     out = pl.pallas_call(
-        functools.partial(kern, chunk=chunk, t_count=t_count),
-        grid=(np_ // rn, n_chunks),
+        functools.partial(kern, k=k, rn=rn),
+        grid=(np_ // rn, c),
         in_specs=[
             pl.BlockSpec((rn, 16), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rn, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((rn, 8), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 4 * chunk), lambda i, j: (j, 0),
+            pl.BlockSpec((c, 8), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 4 * k), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rn, 8), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_, 8), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * np_ * 16 * 4 * chunk * n_chunks,
-            bytes_accessed=(np_ // rn) * n_chunks * 16 * 4 * chunk * 4
-            + np_ * (16 + 1 + 8) * 4,
+            flops=2 * np_ * 16 * 4 * k * c,
+            bytes_accessed=(np_ // rn) * c * 16 * 4 * k * 4
+            + np_ * (16 + 8 + 8) * 4,
             transcendentals=0),
         interpret=interpret,
-    )(feats, tmax[:, None], w_flat)
+    )(feats, aux, cbox, w_flat)
     return out[:n]
 
 
-def intersect_pallas(w_chunks, o, d, tmax, t_count: int,
-                     chunk: int, interpret: bool = False):
-    """Closest hit; same contract as mxu_intersect.intersect_mxu."""
-    w_chunks = jnp.asarray(w_chunks)
-    feats = ray_features(o, d)
-    out = _run(w_chunks, feats, tmax, t_count, chunk, False, interpret)
-    idx = out[:, 1].astype(jnp.int32)
-    miss = idx < 0
-    t = jnp.where(miss, tmax, out[:, 0])
-    return t, idx, out[:, 2], out[:, 3]
+def _make_aux(o, tmax, n_alive):
+    """[N,8] per-ray aux block: col 0 = tmax, col 1 = relative t
+    epsilon (self-hit guard scaled by |o|, ref triangle.rs:431-451),
+    col 2 = n_alive broadcast (compaction bound)."""
+    n = o.shape[0]
+    teps = 1e-5 * (1.0 + jnp.max(jnp.abs(o), axis=-1))
+    if n_alive is None:
+        n_alive = jnp.int32(n)
+    na = jnp.broadcast_to(
+        jnp.asarray(n_alive, jnp.float32).reshape(()), (n,))
+    return jnp.stack(
+        [tmax.astype(jnp.float32), teps, na] + [jnp.zeros((n,))] * 5,
+        axis=-1)
 
 
-def occluded_pallas(w_chunks, o, d, tmax, t_count: int,
-                    chunk: int, interpret: bool = False):
-    """Any-hit; same contract as mxu_intersect.occluded_mxu."""
-    w_chunks = jnp.asarray(w_chunks)
+def intersect_clusters(w_clusters, cbox, o, d, tmax, n_alive=None,
+                       interpret: bool = False):
+    """Closest hit of N rays against the cluster tables.
+
+    Returns (t [N], slot [N] int32): slot = cluster*K + lane into the
+    cluster layout (-1 = miss; remap to tri ids via clusters.remap).
+    Rays at positions >= n_alive are reported as misses.
+    """
+    w_clusters = jnp.asarray(w_clusters)
+    cbox = jnp.asarray(cbox)
+    k = w_clusters.shape[-1] // 4
     feats = ray_features(o, d)
-    out = _run(w_chunks, feats, tmax, t_count, chunk, True, interpret)
+    aux = _make_aux(o, tmax, n_alive)
+    out = _run(w_clusters, cbox, feats, aux, k, False, interpret)
+    slot = out[:, 1].astype(jnp.int32)
+    t = jnp.where(slot < 0, tmax, out[:, 0])
+    return t, slot
+
+
+def occluded_clusters(w_clusters, cbox, o, d, tmax, n_alive=None,
+                      interpret: bool = False):
+    """Any-hit within (0, tmax); rays >= n_alive report unblocked."""
+    w_clusters = jnp.asarray(w_clusters)
+    cbox = jnp.asarray(cbox)
+    k = w_clusters.shape[-1] // 4
+    feats = ray_features(o, d)
+    aux = _make_aux(o, tmax, n_alive)
+    out = _run(w_clusters, cbox, feats, aux, k, True, interpret)
     return out[:, 0] > 0.5

@@ -1,58 +1,102 @@
-"""Fused Pallas intersect kernel vs the plain-XLA MXU path.
+"""Cluster-culled Pallas intersector vs the plain-XLA MXU oracle.
 
-Runs in Pallas interpreter mode on CPU; both paths share the same
-determinant math (pack_chunks weights), so results must agree
-essentially exactly.
+Runs in Pallas interpreter mode on CPU.  Both paths share the same
+determinant math and the same accept op sequence over the same
+cluster-packed weights, so culling must be *exactly* lossless: every
+(t, slot) pair must match bit-for-bit (SURVEY §7 M2's "identical
+hits" bar; ref: src/component/bvh.rs traversal == naive scan).
 """
 
 import numpy as np
 import jax.numpy as jnp
 
+from arendur_tpu.accel.clusters import build_clusters
 from arendur_tpu.shapes import mxu_intersect as mxi
 from arendur_tpu.shapes import pallas_intersect as pli
 from tests.test_mxu_intersect import random_scene
 
 
-class TestPallasIntersect:
-    def _compare(self, seed, chunk, tmax_val=np.inf, n_rays=512):
+def cluster_tables(v0, v1, v2, K=64):
+    tabs = build_clusters(v0, v1, v2, K=K)
+    return tabs["w_chunks"], tabs["cbox"], tabs["remap"]
+
+
+class TestClusterIntersect:
+    def _compare(self, seed, K=64, tmax_val=np.inf, n_rays=512,
+                 shift=0.0):
         v0, v1, v2, o, d = random_scene(seed=seed, n_rays=n_rays)
+        v0, v1, v2, o = (a + shift for a in (v0, v1, v2, o))
+        w, cbox, remap = cluster_tables(v0, v1, v2, K=K)
+        assert w.shape[0] > 1, "test scene must span several clusters"
         tmax = jnp.full((len(o),), tmax_val, jnp.float32)
         jj = jnp.asarray
-        w = mxi.pack_chunks(v0, v1, v2, chunk=chunk)
-        t_m, i_m, b0_m, b1_m = mxi.intersect_mxu(
-            w, jj(o), jj(d), tmax, len(v0), chunk=chunk)
-        t_p, i_p, b0_p, b1_p = pli.intersect_pallas(
-            w, jj(o), jj(d), tmax, len(v0), chunk=chunk,
-            interpret=True)
-        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_m))
-        hit = np.asarray(i_m) >= 0
-        np.testing.assert_allclose(np.asarray(t_p)[hit],
-                                   np.asarray(t_m)[hit], rtol=1e-5)
-        np.testing.assert_allclose(np.asarray(b0_p)[hit],
-                                   np.asarray(b0_m)[hit], atol=1e-5)
-        np.testing.assert_allclose(np.asarray(b1_p)[hit],
-                                   np.asarray(b1_m)[hit], atol=1e-5)
+        t_m, s_m, _, _ = mxi.intersect_mxu(
+            w, jj(o), jj(d), tmax, w.shape[0] * K, chunk=K)
+        t_p, s_p = pli.intersect_clusters(
+            w, cbox, jj(o), jj(d), tmax, interpret=True)
+        # culling never changes the result: exact (t, slot) match
+        np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_m))
+        hit = np.asarray(s_m) >= 0
+        np.testing.assert_array_equal(np.asarray(t_p)[hit],
+                                      np.asarray(t_m)[hit])
+        # remapped ids are valid original triangle ids
+        assert np.all(np.asarray(remap)[np.asarray(s_m)[hit]] >= 0)
+        return hit
 
     def test_matches_mxu_inf_tmax(self):
-        self._compare(0, chunk=128)
+        hit = self._compare(0)
+        assert hit.mean() > 0.1
 
-    def test_matches_mxu_multi_chunk(self):
-        self._compare(1, chunk=64)
+    def test_matches_mxu_small_clusters(self):
+        self._compare(1, K=16)
 
     def test_matches_mxu_finite_tmax(self):
-        self._compare(2, chunk=128, tmax_val=4.0)
+        self._compare(2, tmax_val=4.0)
 
     def test_ragged_ray_count(self):
         # n_rays not a multiple of the kernel's ray tile
-        self._compare(3, chunk=128, n_rays=300)
+        self._compare(3, n_rays=300)
+
+    def test_off_origin_scene(self):
+        # translated scene (|o| ~ 2e3): the relative t-epsilon must
+        # keep hits working far from the origin
+        # (ref: triangle.rs:431-451's conservative scheme)
+        hit = self._compare(0, shift=2000.0)
+        assert hit.mean() > 0.1
+
+    def test_n_alive_skips_tail(self):
+        v0, v1, v2, o, d = random_scene(seed=5)
+        w, cbox, remap = cluster_tables(v0, v1, v2)
+        tmax = jnp.full((len(o),), np.inf, jnp.float32)
+        jj = jnp.asarray
+        t_all, s_all = pli.intersect_clusters(
+            w, cbox, jj(o), jj(d), tmax, interpret=True)
+        t_na, s_na = pli.intersect_clusters(
+            w, cbox, jj(o), jj(d), tmax, n_alive=256, interpret=True)
+        np.testing.assert_array_equal(np.asarray(s_na)[:256],
+                                      np.asarray(s_all)[:256])
+        assert np.all(np.asarray(s_na)[256:] == -1)
 
     def test_occluded(self):
         v0, v1, v2, o, d = random_scene(seed=4)
-        tmax = jnp.full((len(o),), np.inf, jnp.float32)
-        w = mxi.pack_chunks(v0, v1, v2, chunk=128)
+        w, cbox, remap = cluster_tables(v0, v1, v2)
+        tmax = jnp.full((len(o),), 6.0, jnp.float32)
         jj = jnp.asarray
         b_m = np.asarray(mxi.occluded_mxu(
-            w, jj(o), jj(d), tmax, len(v0), chunk=128))
-        b_p = np.asarray(pli.occluded_pallas(
-            w, jj(o), jj(d), tmax, len(v0), chunk=128, interpret=True))
+            w, jj(o), jj(d), tmax, w.shape[0] * 64, chunk=64))
+        b_p = np.asarray(pli.occluded_clusters(
+            w, cbox, jj(o), jj(d), tmax, interpret=True))
         np.testing.assert_array_equal(b_p, b_m)
+        assert b_m.any()
+
+    def test_occluded_n_alive(self):
+        v0, v1, v2, o, d = random_scene(seed=6)
+        w, cbox, remap = cluster_tables(v0, v1, v2)
+        tmax = jnp.full((len(o),), 6.0, jnp.float32)
+        jj = jnp.asarray
+        b_all = np.asarray(pli.occluded_clusters(
+            w, cbox, jj(o), jj(d), tmax, interpret=True))
+        b_na = np.asarray(pli.occluded_clusters(
+            w, cbox, jj(o), jj(d), tmax, n_alive=128, interpret=True))
+        np.testing.assert_array_equal(b_na[:128], b_all[:128])
+        assert not b_na[128:].any()

@@ -39,7 +39,7 @@ SPP = 16
 RES = (256, 256)
 
 
-def timeit(name, fn, *args, n=5):
+def timeit(name, fn, *args, n=5, ret_dt=False):
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -48,7 +48,7 @@ def timeit(name, fn, *args, n=5):
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n
     print(f"{name:42s} {dt*1e3:9.3f} ms")
-    return out
+    return dt if ret_dt else out
 
 
 def main():
@@ -58,8 +58,8 @@ def main():
         spp_override=SPP, resolution_override=RES)
     config = dataclasses.replace(config, max_depth=8, wave_size=WAVE)
     print("n_tris:", scene.tri_v0.shape[0],
-          "mxu chunks:", None if scene.tri_mxu_w is None
-          else scene.tri_mxu_w.shape)
+          "clusters:", None if scene.tri_cw is None
+          else scene.tri_cw.shape)
 
     w, h = film_cfg.resolution
     base_key = smp.make_base_key(0)
@@ -147,9 +147,9 @@ def main():
         return flm.film_splat_pixmajor(
             film_cfg, state, pfilm - pxy, L, ray_idx[0] // SPP, SPP,
             mask=ray_idx < WAVE)
-    timeit("FULL wave (8 bounces + splat)", full_wave, state, ray_idx, n=3)
-    print(f"-> paths/s at this rate: "
-          f"{WAVE / (timeit_last or 1):.0f}" if False else "")
+    dt = timeit("FULL wave (8 bounces + splat)", full_wave, state,
+                ray_idx, n=3, ret_dt=True)
+    print(f"-> {WAVE / dt:.0f} paths/s at this rate")
 
 
 if __name__ == "__main__":

@@ -1,6 +1,6 @@
-"""Tuning experiments for the Pallas intersection kernel on the real
-chip: ray-tile size and matmul precision, with accuracy checked
-against the HIGHEST-precision XLA path."""
+"""Tuning experiments for the cluster-culled Pallas intersector on the
+real chip: camera-ray vs incoherent-ray workloads, with accuracy
+checked against the plain-XLA path on the same cluster tables."""
 
 import os
 import sys
@@ -22,7 +22,6 @@ except Exception:
 from arendur_tpu.io import scenedesc
 from arendur_tpu.shapes import pallas_intersect as pli
 from arendur_tpu.shapes import mxu_intersect as mxi
-from arendur_tpu.shapes.mxu_intersect import ray_features
 
 WAVE = 1 << 16
 
@@ -40,50 +39,49 @@ def bench(fn, *args, n=10):
 def main():
     scene, camera, film_cfg, config, _ = scenedesc.parse_scene(
         os.path.join(REPO, "examples/cornellbox/cb.json"))
-    w = scene.tri_mxu_w
-    chunk = w.shape[-1] // 4
-    t_count = scene.tri_v0.shape[0]
-    print("chunk", chunk, "tris", t_count)
+    w = scene.tri_cw
+    cbox = scene.tri_cbox
+    k = w.shape[-1] // 4
+    c = w.shape[0]
+    print("clusters", c, "K", k, "tris", scene.tri_v0.shape[0])
 
     rng = np.random.default_rng(0)
-    o = rng.uniform(-4, 4, (WAVE, 3)).astype(np.float32)
+    o = jnp.asarray(rng.uniform(-4, 4, (WAVE, 3)).astype(np.float32))
     d = rng.normal(size=(WAVE, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    o = jnp.asarray(o)
     d = jnp.asarray(d)
     tmax = jnp.full((WAVE,), np.inf, jnp.float32)
 
     @jax.jit
     def ref(o, d):
-        return mxi.intersect_mxu(w, o, d, tmax, t_count, chunk=chunk)
-    dt, (rt, ri, rb0, rb1) = bench(ref, o, d)
-    print(f"XLA mxu HIGHEST: {dt*1e3:8.3f} ms")
-    rt = np.where(np.asarray(ri) >= 0, np.asarray(rt), 0)
+        return mxi.intersect_mxu(w, o, d, tmax, c * k, chunk=k)
+    dt, (rt, ri, _, _) = bench(ref, o, d)
+    print(f"XLA mxu (no culling): {dt*1e3:8.3f} ms")
 
-    for rn in (128, 256, 512):
-        for prec in ("highest", "high", "default"):
-            os.environ["ARENDUR_MXU_PRECISION"] = prec
-            pli._RAY_TILE_OVERRIDE = rn
-            try:
-                pli._run.clear_cache()
-            except Exception:
-                pass
+    @jax.jit
+    def run(o, d):
+        return pli.intersect_clusters(w, cbox, o, d, tmax)
+    dt, (t, i) = bench(run, o, d)
+    mismatch = (np.asarray(i) != np.asarray(ri)).mean()
+    print(f"pallas clusters (incoherent rays): {dt*1e3:8.3f} ms  "
+          f"idx-mismatch {mismatch:.2e}")
 
-            @jax.jit
-            def run(o, d):
-                return pli.intersect_pallas(w, o, d, tmax, t_count,
-                                            chunk=chunk)
-            try:
-                dt, (t, i, b0, b1) = bench(run, o, d)
-            except Exception as e:
-                print(f"rn={rn} prec={prec}: FAIL {type(e).__name__}")
-                continue
-            i = np.asarray(i)
-            t = np.where(i >= 0, np.asarray(t), 0)
-            mismatch = (i != np.asarray(ri)).mean()
-            terr = np.abs(t - rt).max()
-            print(f"rn={rn:4d} prec={prec:8s}: {dt*1e3:8.3f} ms  "
-                  f"idx-mismatch {mismatch:.2e}  max|dt| {terr:.2e}")
+    for frac in (1.0, 0.5, 0.25, 0.125):
+        na = jnp.int32(int(WAVE * frac))
+
+        @jax.jit
+        def run_na(o, d, na):
+            return pli.intersect_clusters(w, cbox, o, d, tmax,
+                                          n_alive=na)
+        dt, _ = bench(run_na, o, d, na)
+        print(f"pallas n_alive={frac:5.3f}*N: {dt*1e3:8.3f} ms")
+
+    @jax.jit
+    def run_occ(o, d):
+        return pli.occluded_clusters(w, cbox, o, d,
+                                     jnp.full((WAVE,), 10.0))
+    dt, _ = bench(run_occ, o, d)
+    print(f"pallas occluded: {dt*1e3:8.3f} ms")
 
 
 if __name__ == "__main__":
