@@ -88,7 +88,7 @@ class BsdfSlots:
 def make_bsdf_frame(ns, ng, dpdu):
     """(ts, bs) from shading normal + dpdu hint (ref: bsdf.rs:36-44)."""
     t = dpdu - ns * dot(ns, dpdu, keepdims=True)
-    bad = jnp.sum(t * t, -1, keepdims=True) < 1e-12
+    bad = (t[..., 0]**2 + t[..., 1]**2 + t[..., 2]**2)[..., None] < 1e-12
     fb_u, _ = frame.get_basis_from(ns)
     t = normalize(jnp.where(bad, fb_u, t))
     b = normalize(cross(ns, t))
@@ -185,7 +185,8 @@ def _ashikhmin_eval(c0, c1, alpha, dist, wo, wi):
     """Ashikhmin-Shirley diffuse+gloss coat (ref: microfacet.rs:567-589).
     c0=diffuse, c1=specular."""
     wh_raw = wo + wi
-    degen = jnp.sum(wh_raw * wh_raw, -1) < 1e-12
+    degen = (wh_raw[..., 0]**2 + wh_raw[..., 1]**2
+             + wh_raw[..., 2]**2) < 1e-12
     wh = normalize(jnp.where(degen[..., None], vec3(
         jnp.ones_like(degen, jnp.float32), 0.0, 0.0), wh_raw))
     term_o = 1.0 - (1.0 - 0.5 * jnp.abs(frame.cos_theta(wo))) ** 5
@@ -506,6 +507,38 @@ def bsdf_pdf(b: BsdfSlots, wow, wiw, types: int = ALL):
     return jnp.where(wo[..., 2] == 0.0, 0.0, pdf)
 
 
+def bsdf_eval_pdf(b: BsdfSlots, wow, wiw, types: int = ALL):
+    """Fused bsdf_evaluate + bsdf_pdf in ONE slot sweep (the NEE
+    light branch needs both, scene.rs:96-125; separate sweeps doubled
+    the per-bounce shading op count on TPU, where every op carries a
+    fixed dispatch cost).  Returns (f [N,3], pdf [N])."""
+    wo = normalize(_to_local(b, wow))
+    wi = normalize(_to_local(b, wiw))
+    is_refl = dot(wow, b.ng) * dot(wiw, b.ng) > 0.0
+    f = jnp.zeros(wow.shape, jnp.float32)
+    total = jnp.zeros(wow.shape[:-1], jnp.float32)
+    count = jnp.zeros(wow.shape[:-1], jnp.int32)
+    for k in range(b.nslots):
+        pres = b.col_present(k)
+        if pres is not None and len(pres) == 0:
+            continue
+        stype, c0, c1, p0, p1, p2, dist = _slot_col(b, k)
+        kindk = b.kind[:, k]
+        m = (kindk & types) != 0
+        sel = m & jnp.where(
+            is_refl, (kindk & REFLECTION) != 0,
+            (kindk & TRANSMISSION) != 0)
+        fk = slot_eval(stype, c0, c1, p0, p1, p2, dist, wo, wi,
+                       present=pres)
+        pk = slot_pdf(stype, p0, p1, p2, dist, wo, wi, present=pres)
+        f = f + jnp.where(sel[..., None], fk, 0.0)
+        total = total + jnp.where(m, jnp.maximum(pk, 0.0), 0.0)
+        count = count + m.astype(jnp.int32)
+    pdf = jnp.where(count > 0, total / jnp.maximum(count, 1), total)
+    pdf = jnp.where(wo[..., 2] == 0.0, 0.0, pdf)
+    return f, pdf
+
+
 def bsdf_sample(b: BsdfSlots, wow, u, types: int = ALL):
     """Mixture sampling (ref: bsdf.rs:100-144).
 
@@ -527,9 +560,20 @@ def bsdf_sample(b: BsdfSlots, wow, u, types: int = ALL):
         hit_here = m & (running == idx)
         sel_k = jnp.where(hit_here, k, sel_k)
         running = running + m.astype(jnp.int32)
-    take = lambda arr: jnp.take_along_axis(arr, sel_k[:, None], 1)[:, 0]
-    take3 = lambda arr: jnp.take_along_axis(
-        arr, sel_k[:, None, None], 1)[:, 0]
+    # unrolled per-column select: K is tiny and static, and a where
+    # chain is pure elementwise (fuses; take_along_axis lowers to a
+    # gather, ~0.25 ms per call on the HBM-bound wavefront)
+    def take(arr):
+        out = arr[:, 0]
+        for k in range(1, b.nslots):
+            out = jnp.where(sel_k == k, arr[:, k], out)
+        return out
+
+    def take3(arr):
+        out = arr[:, 0]
+        for k in range(1, b.nslots):
+            out = jnp.where((sel_k == k)[:, None], arr[:, k], out)
+        return out
     stype = take(b.type)
     f, wi, pdf, skind = slot_sample(
         stype, take3(b.c0), take3(b.c1), take(b.p0), take(b.p1),

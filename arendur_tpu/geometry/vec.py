@@ -24,16 +24,34 @@ def to_f32(a):
     return jnp.asarray(a, jnp.float32)
 
 
+# NOTE on formulation: on TPU a reduce op ends an XLA fusion, and
+# every fusion boundary is an HBM round trip of a [..., 3] array whose
+# minor dim is tile-padded to 128 lanes (42x traffic bloat).  Writing
+# dot/cross/length as *slice + elementwise* math instead of
+# jnp.sum/jnp.cross keeps them fusable into the surrounding
+# elementwise work: the profiled PT wave spent ~25% of device time in
+# reduce_sum/concatenate fusions rooted at these helpers.
+
 def dot(a, b, keepdims: bool = False):
+    if a.shape[-1] == 3 and b.shape[-1] == 3:
+        s = (a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1]
+             + a[..., 2] * b[..., 2])
+        return s[..., None] if keepdims else s
     return jnp.sum(a * b, axis=-1, keepdims=keepdims)
 
 
 def cross(a, b):
+    if a.shape[-1] == 3 and b.shape[-1] == 3:
+        a0, a1, a2 = a[..., 0], a[..., 1], a[..., 2]
+        b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+        return jnp.stack([a1 * b2 - a2 * b1,
+                          a2 * b0 - a0 * b2,
+                          a0 * b1 - a1 * b0], axis=-1)
     return jnp.cross(a, b)
 
 
 def length2(a, keepdims: bool = False):
-    return jnp.sum(a * a, axis=-1, keepdims=keepdims)
+    return dot(a, a, keepdims=keepdims)
 
 
 def length(a, keepdims: bool = False):

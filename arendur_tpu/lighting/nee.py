@@ -48,59 +48,93 @@ def is_delta_light(scene: sc.SceneData, lidx):
     """Point and spot are delta (LIGHT_DPOS); the reference's distant
     light is LIGHT_INFINITE which is *not* delta (lighting/mod.rs:
     93-98), so it goes through the MIS path with Light::pdf == 0."""
+    present = sc.light_types_present(scene.lights)
+    if present is not None and not (
+            sc.L_POINT in present or sc.L_SPOT in present):
+        return jnp.zeros(lidx.shape, bool)
     lt = jnp.asarray(scene.lights.ltype)[lidx]
     return (lt == sc.L_POINT) | (lt == sc.L_SPOT)
 
 
+def _sample_sphere_local_row(radius, zmin, zmax, thetamin, thetamax,
+                             phimax, u2, theta_uniform=None):
+    """sample_sphere_local (sphere.rs:304-317) over packed per-lane
+    sphere parameters instead of SoA gathers."""
+    if theta_uniform is None:
+        theta_uniform = sph.THETA_UNIFORM_COMPAT
+    phi = u2[..., 0] * phimax
+    if theta_uniform:
+        theta = u2[..., 1] * (thetamax - thetamin) + thetamin
+        z = jnp.cos(theta)
+    else:
+        z = zmin / radius + u2[..., 1] * (zmax - zmin) / radius
+        theta = jnp.arccos(jnp.clip(z, -1.0 + 1e-7, 1.0 - 1e-7))
+    st = jnp.sin(theta)
+    nrm = vec3(st * jnp.cos(phi), st * jnp.sin(phi), jnp.cos(theta))
+    p = nrm * radius[..., None]
+    area = phimax * radius * (zmax - zmin)
+    return p, nrm, 1.0 / area
+
+
 def light_sample(scene: sc.SceneData, lidx, pos, u2):
     """Sample an incoming direction from light lidx [N] toward pos
-    [N,3].  Returns dict(radiance, pdf, pfrom, wi, dist2, delta)."""
+    [N,3].  Returns dict(radiance, pdf, pfrom, wi, dist2, delta).
+
+    All per-light state comes from one packed row gather
+    (scene.light_pack); per-type branches for light types absent from
+    the scene are never emitted."""
     from arendur_tpu.geometry.vec import as_jax
     scene = as_jax(scene)
-    lights = scene.lights
-    lt = lights.ltype[lidx]
-    emission = lights.emission[lidx]
+    pack, cidx, present = sc.light_pack(scene)
+    lp = pack[jnp.maximum(lidx, 0)]
+    col = lambda name: lp[:, cidx[name][0]:cidx[name][1]]
+    col1 = lambda name: lp[:, cidx[name][0]]
+    has = lambda t: present is None or t in present
+    lt = col1("ltype").astype(jnp.int32)
+    emission = col("emission")
     n = pos.shape[0]
     sg = jax.lax.stop_gradient
+    zero3 = jnp.zeros((n, 3), jnp.float32)
+    zero1 = jnp.zeros((n,), jnp.float32)
+    zero_uv = jnp.zeros((n, 2), jnp.float32)
 
     # ---- area sphere (in the sphere's local frame) ---------------------
-    s_idx = jnp.clip(lights.prim[lidx], 0, scene.spheres.count - 1)
-    w2o = scene.spheres.w2o[s_idx]
-    o2w = scene.spheres.o2w[s_idx]
-    pos_local = jax.vmap(tf.transform_point)(w2o, pos)
-    lp_l, ln_l, pdf_area_s = sph.sample_sphere_local(
-        scene.spheres, s_idx, u2)
-    lp_l, ln_l = sg(lp_l), sg(ln_l)
-    wi_l = lp_l - pos_local
-    d2_l = length2(wi_l)
-    wi_ln = wi_l * jax.lax.rsqrt(jnp.maximum(d2_l, 1e-20))[..., None]
-    # solid-angle conversion (ref: shape/mod.rs:52-64)
-    denom = jnp.abs(dot(ln_l, wi_ln))
-    pdf_s = pdf_area_s * d2_l / jnp.maximum(denom, 1e-20)
-    pdf_s = jnp.where((d2_l < 1e-12) | ~jnp.isfinite(pdf_s), 0.0, pdf_s)
-    # front-facing emission only (ref: component/shape.rs:115-128)
-    front_s = dot(pos_local - lp_l, ln_l) > 0.0
-    pfrom_s = jax.vmap(tf.transform_point)(o2w, lp_l)
-    rad_s = jnp.where(front_s[..., None], emission, 0.0)
-    uv_s, _, _ = sph._local_duv(
-        lp_l, scene.spheres.radius[s_idx],
-        scene.spheres.thetamin[s_idx], scene.spheres.thetamax[s_idx],
-        scene.spheres.phimax[s_idx])
+    if has(sc.L_AREA_SPHERE):
+        w2o = col("s_w2o").reshape(-1, 4, 4)
+        o2w = col("s_o2w").reshape(-1, 4, 4)
+        pos_local = jax.vmap(tf.transform_point)(w2o, pos)
+        lp_l, ln_l, pdf_area_s = _sample_sphere_local_row(
+            col1("s_radius"), col1("s_zmin"), col1("s_zmax"),
+            col1("s_thetamin"), col1("s_thetamax"), col1("s_phimax"),
+            u2)
+        lp_l, ln_l = sg(lp_l), sg(ln_l)
+        wi_l = lp_l - pos_local
+        d2_l = length2(wi_l)
+        wi_ln = wi_l * jax.lax.rsqrt(jnp.maximum(d2_l, 1e-20))[..., None]
+        # solid-angle conversion (ref: shape/mod.rs:52-64)
+        denom = jnp.abs(dot(ln_l, wi_ln))
+        pdf_s = pdf_area_s * d2_l / jnp.maximum(denom, 1e-20)
+        pdf_s = jnp.where((d2_l < 1e-12) | ~jnp.isfinite(pdf_s), 0.0,
+                          pdf_s)
+        # front-facing emission only (ref: component/shape.rs:115-128)
+        front_s = dot(pos_local - lp_l, ln_l) > 0.0
+        pfrom_s = jax.vmap(tf.transform_point)(o2w, lp_l)
+        rad_s = jnp.where(front_s[..., None], emission, 0.0)
+        uv_s, _, _ = sph._local_duv(
+            lp_l, col1("s_radius"), col1("s_thetamin"),
+            col1("s_thetamax"), col1("s_phimax"))
+        n_s_world = normalize(jax.vmap(tf.transform_vector)(o2w, ln_l))
+    else:
+        pfrom_s, rad_s, pdf_s, uv_s = zero3, zero3, zero1, zero_uv
+        n_s_world = zero3
 
     # ---- area triangle -------------------------------------------------
-    has_tris = scene.n_tris > 0
-    t_idx = jnp.clip(lights.prim[lidx], 0,
-                     max(scene.n_tris - 1, 0))
+    has_tris = has(sc.L_AREA_TRI) and "tri_v0" in cidx
     if has_tris:
-        tv0 = scene.tri_v0[t_idx]
-        tv1 = scene.tri_v1[t_idx]
-        tv2 = scene.tri_v2[t_idx]
-        tn0 = scene.tri_n0[t_idx]
-        tn1 = scene.tri_n1[t_idx]
-        tn2 = scene.tri_n2[t_idx]
         bary = sg(warps.sample_uniform_triangle(u2))
         lp_t, ln_t, pdf_area_t = tri.sample_tri(
-            tv0, tv1, tv2, tn0, tn1, tn2, bary)
+            col("tri_v0"), col("tri_v1"), col("tri_v2"),
+            col("tri_n0"), col("tri_n1"), col("tri_n2"), bary)
         wi_t = lp_t - pos
         d2_t = length2(wi_t)
         wi_tn = wi_t * jax.lax.rsqrt(jnp.maximum(d2_t, 1e-20))[..., None]
@@ -110,68 +144,83 @@ def light_sample(scene: sc.SceneData, lidx, pos, u2):
                           pdf_t)
         front_t = dot(pos - lp_t, ln_t) > 0.0
         rad_t = jnp.where(front_t[..., None], emission, 0.0)
-        uv_t = (bary[..., 0:1] * scene.tri_uv0[t_idx]
-                + bary[..., 1:2] * scene.tri_uv1[t_idx]
-                + bary[..., 2:3] * scene.tri_uv2[t_idx])
+        uv_t = (bary[..., 0:1] * col("tri_uv0")
+                + bary[..., 1:2] * col("tri_uv1")
+                + bary[..., 2:3] * col("tri_uv2"))
     else:
-        lp_t = jnp.zeros_like(pos)
-        pdf_t = jnp.zeros((n,), jnp.float32)
-        rad_t = jnp.zeros_like(pos)
-        uv_t = jnp.zeros((n, 2), jnp.float32)
+        lp_t, pdf_t, rad_t, uv_t = zero3, zero1, zero3, zero_uv
+        ln_t = zero3
 
-    # ---- point ---------------------------------------------------------
-    lpos = lights.pos[lidx]
-    wi_p = lpos - pos
-    d2_p = length2(wi_p)
-    rad_p = emission / jnp.maximum(d2_p, 1e-20)[..., None]
+    # ---- point / spot --------------------------------------------------
+    lpos = col("pos")
+    if has(sc.L_POINT) or has(sc.L_SPOT):
+        wi_p = lpos - pos
+        d2_p = length2(wi_p)
+        rad_p = emission / jnp.maximum(d2_p, 1e-20)[..., None]
+    else:
+        rad_p = zero3
     pdf_p = jnp.ones((n,), jnp.float32)
 
-    # ---- spot ----------------------------------------------------------
-    axis = normalize(lights.aux[lidx])
-    cos_total = lights.params[lidx, 0]
-    cos_falloff = lights.params[lidx, 1]
-    wi_pn = wi_p * jax.lax.rsqrt(jnp.maximum(d2_p, 1e-20))[..., None]
-    cos_to = dot(-wi_pn, axis)
-    # quartic falloff (ref: pointlights.rs:146-159)
-    tt = jnp.clip((cos_to - cos_total)
-                  / jnp.maximum(cos_falloff - cos_total, 1e-8), 0.0, 1.0)
-    falloff = jnp.where(cos_to < cos_total, 0.0,
-                        jnp.where(cos_to > cos_falloff, 1.0,
-                                  (tt * tt) * (tt * tt)))
-    rad_sp = rad_p * falloff[..., None]
+    if has(sc.L_SPOT):
+        axis = normalize(col("aux"))
+        cos_total = col1("params")
+        cos_falloff = lp[:, cidx["params"][0] + 1]
+        wi_pn = wi_p * jax.lax.rsqrt(
+            jnp.maximum(d2_p, 1e-20))[..., None]
+        cos_to = dot(-wi_pn, axis)
+        # quartic falloff (ref: pointlights.rs:146-159)
+        tt = jnp.clip((cos_to - cos_total)
+                      / jnp.maximum(cos_falloff - cos_total, 1e-8),
+                      0.0, 1.0)
+        falloff = jnp.where(cos_to < cos_total, 0.0,
+                            jnp.where(cos_to > cos_falloff, 1.0,
+                                      (tt * tt) * (tt * tt)))
+        rad_sp = rad_p * falloff[..., None]
+    else:
+        rad_sp = zero3
 
-    # ---- distant -------------------------------------------------------
-    ldir = normalize(lights.pos[lidx])       # direction the light travels
-    wr = lights.params[lidx, 0]
-    pfrom_d = pos - ldir * (2.0 * jnp.maximum(wr, 1.0))[..., None]
-    rad_d = jnp.broadcast_to(emission, (n, 3))
+    if has(sc.L_DISTANT):
+        ldir = normalize(lpos)           # direction the light travels
+        wr = col1("params")
+        pfrom_d = pos - ldir * (2.0 * jnp.maximum(wr, 1.0))[..., None]
+        rad_d = jnp.broadcast_to(emission, (n, 3))
+    else:
+        pfrom_d, rad_d = zero3, zero3
     pdf_d = jnp.ones((n,), jnp.float32)
 
-    # ---- combine by type ----------------------------------------------
-    def pick(sphere_v, tri_v, point_v, spot_v, distant_v):
+    # ---- combine by type (only emitted branches) -----------------------
+    def pick(sphere_v, tri_v, point_v, spot_v, distant_v, default):
         def sel(c, a, b):
             return jnp.where(c[..., None] if a.ndim == 2 else c, a, b)
-        out = sel(lt == sc.L_AREA_SPHERE, sphere_v, tri_v)
-        out = sel(lt == sc.L_POINT, point_v, out)
-        out = sel(lt == sc.L_SPOT, spot_v, out)
-        out = sel(lt == sc.L_DISTANT, distant_v, out)
+        out = default
+        if has(sc.L_AREA_TRI):
+            out = sel(lt == sc.L_AREA_TRI, tri_v, out)
+        if has(sc.L_AREA_SPHERE):
+            out = sel(lt == sc.L_AREA_SPHERE, sphere_v, out)
+        if has(sc.L_POINT):
+            out = sel(lt == sc.L_POINT, point_v, out)
+        if has(sc.L_SPOT):
+            out = sel(lt == sc.L_SPOT, spot_v, out)
+        if has(sc.L_DISTANT):
+            out = sel(lt == sc.L_DISTANT, distant_v, out)
         return out
 
-    pfrom = pick(pfrom_s, lp_t, jnp.broadcast_to(lpos, (n, 3)),
-                 jnp.broadcast_to(lpos, (n, 3)), pfrom_d)
-    radiance = pick(rad_s, rad_t, rad_p, rad_sp, rad_d)
-    pdf = pick(pdf_s, pdf_t, pdf_p, pdf_p, pdf_d)
-    zero_uv = jnp.zeros((n, 2), jnp.float32)
-    uv = jnp.where((lt == sc.L_AREA_SPHERE)[..., None], uv_s,
-                   jnp.where((lt == sc.L_AREA_TRI)[..., None], uv_t,
-                             zero_uv))
+    lpos_b = jnp.broadcast_to(lpos, (n, 3))
+    pfrom = pick(pfrom_s, lp_t, lpos_b, lpos_b, pfrom_d, zero3)
+    radiance = pick(rad_s, rad_t, rad_p, rad_sp, rad_d, zero3)
+    pdf = pick(pdf_s, pdf_t, pdf_p, pdf_p, pdf_d, zero1)
+    uv = pick(uv_s, uv_t, zero_uv, zero_uv, zero_uv, zero_uv)
     wi = normalize(pfrom - pos)
     # light-surface normal at pfrom (area lights; BPT MIS needs it —
     # delta/distant lanes fall back to -wi, unused through is_surface)
-    n_s_world = normalize(jax.vmap(tf.transform_vector)(o2w, ln_l))
-    nl = pick(n_s_world, ln_t if has_tris else -wi, -wi, -wi, -wi)
+    nl = pick(n_s_world, ln_t if has_tris else -wi, -wi, -wi, -wi, -wi)
+    if present is not None and not (
+            sc.L_POINT in present or sc.L_SPOT in present):
+        delta = jnp.zeros((n,), bool)
+    else:
+        delta = (lt == sc.L_POINT) | (lt == sc.L_SPOT)
     return dict(radiance=radiance, pdf=pdf, pfrom=pfrom, wi=wi, nl=nl,
-                uv=uv, delta=is_delta_light(scene, lidx))
+                uv=uv, delta=delta)
 
 
 def light_pdf_wi(scene: sc.SceneData, lidx, pos, wi):
@@ -179,39 +228,42 @@ def light_pdf_wi(scene: sc.SceneData, lidx, pos, wi):
     re-intersection; delta lights return 0)."""
     from arendur_tpu.geometry.vec import as_jax
     scene = as_jax(scene)
-    lights = scene.lights
-    lt = lights.ltype[lidx]
+    pack, cidx, present = sc.light_pack(scene)
+    lp = pack[jnp.maximum(lidx, 0)]
+    col = lambda name: lp[:, cidx[name][0]:cidx[name][1]]
+    col1 = lambda name: lp[:, cidx[name][0]]
+    has = lambda t: present is None or t in present
+    lt = col1("ltype").astype(jnp.int32)
     n = pos.shape[0]
 
     # sphere area light: intersect that sphere in local frame
-    s_idx = jnp.clip(lights.prim[lidx], 0, scene.spheres.count - 1)
-    w2o = scene.spheres.w2o[s_idx]
-    pos_l = jax.vmap(tf.transform_point)(w2o, pos)
-    wi_l = jax.vmap(tf.transform_vector)(w2o, wi)
-    radius = scene.spheres.radius[s_idx]
-    hit_s, t_s, p_l = sph._intersect_local(
-        pos_l, wi_l, jnp.full((n,), jnp.inf, jnp.float32),
-        radius, scene.spheres.zmin[s_idx], scene.spheres.zmax[s_idx],
-        scene.spheres.phimax[s_idx])
-    # normal at hit = p/r (geometric, local); area in local frame
-    n_l = p_l * jax.lax.rsqrt(
-        jnp.maximum(length2(p_l), 1e-20))[..., None]
-    area_s = (scene.spheres.phimax[s_idx] * radius
-              * (scene.spheres.zmax[s_idx] - scene.spheres.zmin[s_idx]))
-    d2_s = length2(p_l - pos_l)
-    pdf_s = d2_s / (jnp.maximum(jnp.abs(dot(wi_l, n_l)), 1e-20) * area_s)
-    pdf_s = jnp.where(hit_s & jnp.isfinite(pdf_s), pdf_s, 0.0)
+    if has(sc.L_AREA_SPHERE):
+        w2o = col("s_w2o").reshape(-1, 4, 4)
+        pos_l = jax.vmap(tf.transform_point)(w2o, pos)
+        wi_l = jax.vmap(tf.transform_vector)(w2o, wi)
+        radius = col1("s_radius")
+        hit_s, t_s, p_l = sph._intersect_local(
+            pos_l, wi_l, jnp.full((n,), jnp.inf, jnp.float32),
+            radius, col1("s_zmin"), col1("s_zmax"), col1("s_phimax"))
+        # normal at hit = p/r (geometric, local); area in local frame
+        n_l = p_l * jax.lax.rsqrt(
+            jnp.maximum(length2(p_l), 1e-20))[..., None]
+        area_s = (col1("s_phimax") * radius
+                  * (col1("s_zmax") - col1("s_zmin")))
+        d2_s = length2(p_l - pos_l)
+        pdf_s = d2_s / (jnp.maximum(jnp.abs(dot(wi_l, n_l)), 1e-20)
+                        * area_s)
+        pdf_s = jnp.where(hit_s & jnp.isfinite(pdf_s), pdf_s, 0.0)
+    else:
+        pdf_s = jnp.zeros((n,), jnp.float32)
 
     # triangle area light: intersect that one triangle
-    if scene.n_tris > 0:
-        t_idx = jnp.clip(lights.prim[lidx], 0, scene.n_tris - 1)
+    if has(sc.L_AREA_TRI) and "tri_v0" in cidx:
+        v0 = col("tri_v0")
+        v1 = col("tri_v1")
+        v2 = col("tri_v2")
         hit_t, t_t = tri.intersect_one(
-            pos, wi, jnp.full((n,), jnp.inf, jnp.float32),
-            scene.tri_v0[t_idx], scene.tri_v1[t_idx],
-            scene.tri_v2[t_idx])
-        v0 = scene.tri_v0[t_idx]
-        v1 = scene.tri_v1[t_idx]
-        v2 = scene.tri_v2[t_idx]
+            pos, wi, jnp.full((n,), jnp.inf, jnp.float32), v0, v1, v2)
         ng = normalize(cross(v1 - v0, v2 - v0))
         area_t = tri.tri_area(v0, v1, v2)
         d2_t = t_t * t_t
@@ -252,9 +304,8 @@ def light_branch(scene: sc.SceneData, hit: sc.Hit, bsdf: sl.BsdfSlots,
             scene.lights, lidx, ls["uv"], textures)
     wi = ls["wi"]
     no_effect = (ls["pdf"] == 0.0) | spec.is_black(ls["radiance"])
-    f_raw, _ = sl.bsdf_evaluate(bsdf, wo, wi, ALL)
+    f_raw, spdf = sl.bsdf_eval_pdf(bsdf, wo, wi, ALL)
     f = f_raw * jnp.abs(dot(wi, bsdf.ns))[..., None]
-    spdf = sl.bsdf_pdf(bsdf, wo, wi, ALL)
     f = jnp.where((spdf == 0.0)[..., None], 0.0, f)
     need_shadow = ~no_effect & ~spec.is_black(f)
     blocked = _occlusion_query(scene, hit, ls["pfrom"], n_alive=n_alive)

@@ -58,6 +58,46 @@ class RenderConfig:
         return self.max_depth // 2
 
 
+def _permute_carry(carry, perm):
+    """Apply a lane permutation to every leaf of the carry with TWO
+    gathers instead of one per leaf: float leaves are packed into one
+    [N, Cf] buffer and integer/bool leaves into one [N, Ci] u32
+    buffer, each gathered once, then sliced back.  On TPU every gather
+    costs a full HBM round trip on the wavefront, so the per-leaf
+    tree.map permute dominated the compaction step."""
+    leaves, treedef = jax.tree.flatten(carry)
+    fparts, iparts, spec = [], [], []
+    fofs = iofs = 0
+    for x in leaves:
+        x2 = x.reshape(x.shape[0], -1)
+        w = x2.shape[1]
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            spec.append(("f", fofs, w, x.shape, x.dtype))
+            fparts.append(x2.astype(jnp.float32))
+            fofs += w
+        else:
+            spec.append(("i", iofs, w, x.shape, x.dtype))
+            iparts.append(x2.astype(jnp.uint32))
+            iofs += w
+    # the packed two-gather permute only pays on TPU (per-gather fixed
+    # cost); on CPU the concat/slice round trip slows the reverse-mode
+    # test path down instead — keep the per-leaf permute there
+    if jax.default_backend() == "cpu":
+        return jax.tree.map(lambda a: a[perm], carry)
+    fbuf = jnp.concatenate(fparts, 1)[perm] if fparts else None
+    ibuf = jnp.concatenate(iparts, 1)[perm] if iparts else None
+    out = []
+    for kind, ofs, w, shape, dtype in spec:
+        buf = fbuf if kind == "f" else ibuf
+        piece = buf[:, ofs:ofs + w]
+        if dtype == jnp.bool_:
+            piece = piece != 0
+        else:
+            piece = piece.astype(dtype)
+        out.append(piece.reshape(shape))
+    return jax.tree.unflatten(treedef, out)
+
+
 def _compact_perm(alive):
     """Stable alive-first permutation + live count.
 
@@ -145,7 +185,7 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         # compact dead lanes to the back so the cluster kernel skips
         # their ray tiles entirely (identity at bounce 0)
         perm, n_alive = _compact_perm(carry["alive"])
-        carry = jax.tree.map(lambda a: a[perm], carry)
+        carry = _permute_carry(carry, perm)
         (o, d, L, beta, alive, specular, cone_w, sel_prev, wb_prev,
          nee_prev, st) = (carry["o"], carry["d"], carry["L"],
                           carry["beta"], carry["alive"],
@@ -221,7 +261,7 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         o = sc.offset_ray_origin(hit.pos, hit.pos_err, hit.ng, wi)
         # dead lanes may carry a zero direction (e.g. TIR); give them a
         # unit fallback so the next intersection pass stays finite
-        degenerate = jnp.sum(wi * wi, -1) < 1e-12
+        degenerate = (wi[..., 0]**2 + wi[..., 1]**2 + wi[..., 2]**2) < 1e-12
         d = jnp.where(degenerate[..., None],
                       jnp.asarray([0.0, 0.0, 1.0]), wi)
         alive = alive & ~degenerate
@@ -268,7 +308,7 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
     need = carry["alive"] & carry["nee_prev"]
     if config.max_depth > 0:
         perm, n_need = _compact_perm(need)
-        carry = jax.tree.map(lambda a: a[perm], carry)
+        carry = _permute_carry(carry, perm)
         need = need[perm]
         hit_f = sc.intersect(scene, carry["o"], carry["d"],
                              n_alive=n_need)

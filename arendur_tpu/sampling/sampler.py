@@ -1,11 +1,19 @@
 """Stateless wavefront sampler.
 
 Replaces the reference's mutable per-pixel stratified sampler
-(ref: src/sample/strata.rs) with a counter-based threefry scheme: every
-ray owns a PRNG key derived from (seed, pixel_id, sample_id), and each
-consumed dimension folds a static dimension counter into that key.
+(ref: src/sample/strata.rs) with a counter-based hash scheme: every
+ray owns a key derived from (seed, pixel_id, sample_id), and each
+consumed dimension hashes a static dimension counter with that key.
 This makes the whole render a pure function of the seed — the TPU
 equivalent of ``set_sample_index`` checkpoint/resume comes for free.
+
+The hash is pcg4d (Jarzynski & Olano, "Hash Functions for GPU
+Rendering", JCGT 2020) — the standard production-renderer per-path
+RNG.  Unlike the earlier vmapped threefry fold_in chain, pcg4d is a
+short branch-free chain of u32 mul/add/xor/shift that XLA fuses into
+neighbouring elementwise work: on a wavefront of N rays a draw costs
+no extra HBM round trips (the threefry version materialized sliced
+key arrays per dimension and dominated the sampler phase).
 
 Camera film positions are stratified over a (dx, dy) sub-pixel grid,
 mirroring StrataSampler's per-pixel strata (ref: strata.rs:49-80);
@@ -18,28 +26,65 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+_U = jnp.uint32
+# 1/2^24 : uniforms from the top 24 bits, exactly representable in f32
+_INV24 = jnp.float32(1.0 / 16777216.0)
+
+
+def _pcg4d(a, b, c, d):
+    """One pcg4d round over four u32 words (arrays or scalars).
+    Returns the four mixed words."""
+    a = a * _U(1664525) + _U(1013904223)
+    b = b * _U(1664525) + _U(1013904223)
+    c = c * _U(1664525) + _U(1013904223)
+    d = d * _U(1664525) + _U(1013904223)
+    a = a + b * d
+    b = b + c * a
+    c = c + a * b
+    d = d + b * c
+    a = a ^ (a >> 16)
+    b = b ^ (b >> 16)
+    c = c ^ (c >> 16)
+    d = d ^ (d >> 16)
+    a = a + b * d
+    b = b + c * a
+    c = c + a * b
+    d = d + b * c
+    return a, b, c, d
+
 
 def make_base_key(seed: int):
     return jax.random.PRNGKey(seed)
 
 
 def ray_keys(base_key, pixel_id, sample_id):
-    """Derive one key per ray from (pixel, sample) ids. Both int32 [N]."""
-    fold = jax.vmap(jax.random.fold_in, in_axes=(None, 0))
-    keys = fold(base_key, pixel_id.astype(jnp.uint32))
-    return jax.vmap(jax.random.fold_in)(keys, sample_id.astype(jnp.uint32))
+    """Derive one key per ray from (pixel, sample) ids. Both int32 [N].
+    Returns [N, 2] u32 (seed-mixed pixel word, sample word)."""
+    base_key = jax.random.key_data(base_key) \
+        if jnp.issubdtype(base_key.dtype, jax.dtypes.prng_key) else base_key
+    base_key = base_key.astype(_U).reshape(-1)
+    k0 = pixel_id.astype(_U) ^ (base_key[-1] * _U(0x9E3779B9)
+                                + base_key[0])
+    k1 = sample_id.astype(_U)
+    return jnp.stack([k0, k1], axis=-1)
 
 
 def uniform_1d(keys, dim: int):
     """One uniform per ray for static dimension index `dim`."""
-    sub = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, jnp.uint32(dim))
-    return jax.vmap(lambda k: jax.random.uniform(k))(sub)
+    a, _, _, _ = _pcg4d(keys[..., 0], keys[..., 1],
+                        jnp.full(keys.shape[:-1], dim, _U),
+                        jnp.full(keys.shape[:-1], 0x2545F491, _U))
+    return (a >> 8).astype(jnp.float32) * _INV24
 
 
 def uniform_2d(keys, dim: int):
     """[N, 2] uniforms for dimensions (dim, dim+1)."""
-    sub = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, jnp.uint32(dim))
-    return jax.vmap(lambda k: jax.random.uniform(k, (2,)))(sub)
+    a, b, _, _ = _pcg4d(keys[..., 0], keys[..., 1],
+                        jnp.full(keys.shape[:-1], dim, _U),
+                        jnp.full(keys.shape[:-1], 0x2545F491, _U))
+    u0 = (a >> 8).astype(jnp.float32) * _INV24
+    u1 = (b >> 8).astype(jnp.float32) * _INV24
+    return jnp.stack([u0, u1], axis=-1)
 
 
 def stratified_film_sample(keys, sample_id, dx: int, dy: int, dim: int = 0):

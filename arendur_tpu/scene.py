@@ -54,6 +54,80 @@ class LightTable:
         return self.ltype.shape[0]
 
 
+def light_types_present(lights: LightTable):
+    """Host-static set of light types in the scene (None if the table
+    is traced).  Lets NEE emit only the per-type branches that can
+    actually occur — masked SIMD work is only free if never emitted."""
+    try:
+        return tuple(sorted(int(t) for t in
+                            np.unique(np.asarray(lights.ltype))))
+    except Exception:
+        return None
+
+
+def light_pack(scene):
+    """One packed [L, C] row per light + static column index map.
+
+    Every per-light attribute NEE needs — including the area light's
+    resolved geometry (its triangle's vertices / its sphere's baked
+    transforms) — lives in one row, so sampling a light is ONE
+    wavefront gather instead of ~20 (each gather is a full HBM round
+    trip on TPU).  The prim -> geometry resolution gathers run over
+    [L] rows of host-constant tables, so XLA constant-folds them at
+    compile time.  Blocks for light types absent from the scene are
+    omitted (static pruning via light_types_present).
+
+    Returns (pack [L, C], idx: name -> (lo, hi), present)."""
+    lights = scene.lights
+    present = light_types_present(lights)
+    L = lights.ltype.shape[0]
+    cols, idx = [], {}
+    ofs = 0
+
+    def add(name, arr, width=None):
+        nonlocal ofs
+        arr = jnp.asarray(arr)
+        arr = arr.astype(jnp.float32)
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        arr = arr.reshape(L, -1)
+        idx[name] = (ofs, ofs + arr.shape[1])
+        cols.append(arr)
+        ofs += arr.shape[1]
+
+    has = lambda t: present is None or t in present
+    add("ltype", lights.ltype)
+    add("emission", lights.emission)
+    add("pos", lights.pos)
+    add("aux", lights.aux)
+    add("params", lights.params)
+    if lights.emission_tex is not None:
+        add("emission_tex", lights.emission_tex)
+    prim = jnp.maximum(jnp.asarray(lights.prim), 0)
+    if (has(L_AREA_TRI) and scene.n_tris > 0):
+        tp = jnp.minimum(prim, scene.n_tris - 1)
+        add("tri_v0", jnp.asarray(scene.tri_v0)[tp])
+        add("tri_v1", jnp.asarray(scene.tri_v1)[tp])
+        add("tri_v2", jnp.asarray(scene.tri_v2)[tp])
+        add("tri_n0", jnp.asarray(scene.tri_n0)[tp])
+        add("tri_n1", jnp.asarray(scene.tri_n1)[tp])
+        add("tri_n2", jnp.asarray(scene.tri_n2)[tp])
+        add("tri_uv0", jnp.asarray(scene.tri_uv0)[tp])
+        add("tri_uv1", jnp.asarray(scene.tri_uv1)[tp])
+        add("tri_uv2", jnp.asarray(scene.tri_uv2)[tp])
+    if has(L_AREA_SPHERE):
+        sp = jnp.minimum(prim, scene.spheres.count - 1)
+        add("s_o2w", jnp.asarray(scene.spheres.o2w)[sp].reshape(L, 16))
+        add("s_w2o", jnp.asarray(scene.spheres.w2o)[sp].reshape(L, 16))
+        add("s_radius", jnp.asarray(scene.spheres.radius)[sp])
+        add("s_zmin", jnp.asarray(scene.spheres.zmin)[sp])
+        add("s_zmax", jnp.asarray(scene.spheres.zmax)[sp])
+        add("s_thetamin", jnp.asarray(scene.spheres.thetamin)[sp])
+        add("s_thetamax", jnp.asarray(scene.spheres.thetamax)[sp])
+        add("s_phimax", jnp.asarray(scene.spheres.phimax)[sp])
+    return jnp.concatenate(cols, axis=1), idx, present
+
+
 def emission_tex_factor(lights: LightTable, lidx, uv, textures=None):
     """Emission-profile texture factor at uv [N,2] (white when the
     light has no profile texture).  Ref: the per-hit texture lookup in
@@ -69,10 +143,19 @@ def emission_tex_factor(lights: LightTable, lidx, uv, textures=None):
 
 def light_emission(lights: LightTable, lidx, uv, textures=None):
     """Emitted radiance of light lidx [N] at surface uv [N,2]:
-    constant part x emission-profile texture."""
+    constant part x emission-profile texture.  One packed gather."""
     li = jnp.maximum(lidx, 0)
-    return lights.emission[li] * emission_tex_factor(
-        lights, lidx, uv, textures)
+    if textures is None or lights.emission_tex is None:
+        return jnp.asarray(lights.emission)[li]
+    pk = jnp.concatenate(
+        [jnp.asarray(lights.emission),
+         jnp.asarray(lights.emission_tex).astype(jnp.float32)[:, None]],
+        axis=1)
+    row = pk[li]
+    em = row[:, 0:3]
+    from arendur_tpu.texturing.texture import eval_rgb
+    return em * eval_rgb(textures, row[:, 3].astype(jnp.int32), uv,
+                         jnp.ones_like(em))
 
 
 @struct.dataclass
@@ -460,10 +543,7 @@ def intersect(scene: SceneData, o, d, tmax=None, n_alive=None) -> Hit:
                 scene.tri_cw.shape[0] * k, chunk=k)
         tri_idx = jnp.where(slot >= 0,
                             scene.tri_remap[jnp.maximum(slot, 0)], -1)
-        ti_b = jnp.maximum(tri_idx, 0)
-        b0, b1 = _bary_from_vertices(
-            o, d, scene.tri_v0[ti_b], scene.tri_v1[ti_b],
-            scene.tri_v2[ti_b])
+        b0 = b1 = None   # recomputed below from the packed vertices
     elif scene.bvh is not None:
         t_tri, tri_idx, b0, b1 = bvhmod.intersect_bvh(
             scene.bvh, scene.tri_v0, scene.tri_v1, scene.tri_v2,
@@ -471,6 +551,27 @@ def intersect(scene: SceneData, o, d, tmax=None, n_alive=None) -> Hit:
     else:
         t_tri, tri_idx, b0, b1 = tri.intersect_scene_tris(
             o, d, tmax, scene.tri_v0, scene.tri_v1, scene.tri_v2)
+
+    # --- triangle shading info: one packed row gather ----------------
+    # Per-attribute gathers cost one HBM round trip EACH on the
+    # wavefront; packing [T,26] makes the winning triangle's whole
+    # attribute row a single gather (v0 v1 v2 n0 n1 n2 uv0 uv1 uv2
+    # mat light), the SoA equivalent of the reference touching one
+    # TriangleInstance (triangle.rs:260).
+    ti = jnp.maximum(tri_idx, 0)
+    tpack = jnp.concatenate([
+        scene.tri_v0, scene.tri_v1, scene.tri_v2,            # 0:9
+        scene.tri_n0, scene.tri_n1, scene.tri_n2,            # 9:18
+        scene.tri_uv0, scene.tri_uv1, scene.tri_uv2,         # 18:24
+        scene.tri_mat.astype(jnp.float32)[:, None],          # 24
+        scene.tri_light.astype(jnp.float32)[:, None],        # 25
+    ], axis=1) if scene.n_tris > 0 else jnp.zeros((1, 26), jnp.float32)
+    trow = tpack[ti]
+    v0 = trow[:, 0:3]
+    v1 = trow[:, 3:6]
+    v2 = trow[:, 6:9]
+    if b0 is None:
+        b0, b1 = _bary_from_vertices(o, d, v0, v1, v2)
     tri_hit = tri_idx >= 0
     t_tri = jnp.where(tri_hit, t_tri, jnp.inf)
 
@@ -480,31 +581,26 @@ def intersect(scene: SceneData, o, d, tmax=None, n_alive=None) -> Hit:
     any_hit = tri_hit | use_sphere
     t = jnp.where(use_sphere, sp["t"], t_tri)
 
-    # --- triangle shading info ---
-    ti = jnp.maximum(tri_idx, 0)
-    v0 = scene.tri_v0[ti]
-    v1 = scene.tri_v1[ti]
-    v2 = scene.tri_v2[ti]
     b2 = 1.0 - b0 - b1
     pos_tri = b0[:, None] * v0 + b1[:, None] * v1 + b2[:, None] * v2
     perr_tri = _GAMMA7 * (
         jnp.abs(b0[:, None] * v0) + jnp.abs(b1[:, None] * v1)
         + jnp.abs(b2[:, None] * v2))
-    uv0 = scene.tri_uv0[ti]
-    uv1 = scene.tri_uv1[ti]
-    uv2 = scene.tri_uv2[ti]
+    uv0 = trow[:, 18:20]
+    uv1 = trow[:, 20:22]
+    uv2 = trow[:, 22:24]
     uv_tri = b0[:, None] * uv0 + b1[:, None] * uv1 + b2[:, None] * uv2
     dpdu_tri, dpdv_tri = tri.tri_dpduv(v0, v1, v2, uv0, uv1, uv2)
     ng_tri = normalize(cross(dpdu_tri, dpdv_tri))
     ns_raw = normalize(
-        b0[:, None] * scene.tri_n0[ti] + b1[:, None] * scene.tri_n1[ti]
-        + b2[:, None] * scene.tri_n2[ti])
+        b0[:, None] * trow[:, 9:12] + b1[:, None] * trow[:, 12:15]
+        + b2[:, None] * trow[:, 15:18])
     # orient shading normal to agree with geometric
     # (ref: interaction.rs:167-181 with orient_norm_by_shading=true)
     flip = dot(ns_raw, ng_tri) < 0.0
     ns_tri = jnp.where(flip[:, None], -ns_raw, ns_raw)
-    mat_tri = scene.tri_mat[ti]
-    light_tri = scene.tri_light[ti]
+    mat_tri = trow[:, 24].astype(jnp.int32)
+    light_tri = trow[:, 25].astype(jnp.int32)
 
     # --- sphere shading info ---
     s_idx = jnp.maximum(sp["sphere_idx"], 0)
@@ -570,6 +666,21 @@ def occluded(scene: SceneData, o, d, tmax, n_alive=None) -> jnp.ndarray:
     return blocked_t | sp["hit"]
 
 
+@jax.custom_jvp
+def _nextafter(p, q):
+    return jnp.nextafter(p, q)
+
+
+@_nextafter.defjvp
+def _nextafter_jvp(primals, tangents):
+    # nextafter is identity + one ulp: derivative w.r.t. p is 1
+    # (jax ships no differentiation rule; without this the ulp nudge
+    # breaks reverse-mode whenever the ray origin carries a tangent)
+    p, q = primals
+    dp, _ = tangents
+    return jnp.nextafter(p, q), dp
+
+
 def offset_ray_origin(pos, pos_err, n, dir):
     """Robust spawn-point offsetting (ref: interaction.rs:45-72):
     shift along +/-n by the error bound, then nudge one ulp."""
@@ -577,6 +688,6 @@ def offset_ray_origin(pos, pos_err, n, dir):
     offset = edn * n
     offset = jnp.where(dot(dir, n, keepdims=True) <= 0.0, -offset, offset)
     p = pos + offset
-    up = jnp.nextafter(p, jnp.inf)
-    down = jnp.nextafter(p, -jnp.inf)
+    up = _nextafter(p, jnp.full_like(p, jnp.inf))
+    down = _nextafter(p, jnp.full_like(p, -jnp.inf))
     return jnp.where(offset > 0.0, up, jnp.where(offset < 0.0, down, p))

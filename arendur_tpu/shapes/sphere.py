@@ -157,11 +157,20 @@ def sphere_hit_info(spheres: SphereSoA, s_idx, p_local):
     import jax as _jax
     spheres = _jax.tree_util.tree_map(jnp.asarray, spheres)
     """Shading info for sphere hits: world pos, ng(=ns), uv, dpdu, pos_err."""
-    o2w = spheres.o2w[s_idx]
-    radius = spheres.radius[s_idx]
+    # one packed row gather (o2w + angle params) instead of five: each
+    # wavefront gather costs a full HBM round trip on TPU
+    spack = jnp.concatenate([
+        spheres.o2w.reshape(-1, 16),        # 0:16
+        spheres.radius[:, None],            # 16
+        spheres.thetamin[:, None],          # 17
+        spheres.thetamax[:, None],          # 18
+        spheres.phimax[:, None],            # 19
+    ], axis=1)
+    row = spack[s_idx]
+    o2w = row[:, 0:16].reshape(-1, 4, 4)
+    radius = row[:, 16]
     uv, dpdu_l, dpdv_l = _local_duv(
-        p_local, radius, spheres.thetamin[s_idx], spheres.thetamax[s_idx],
-        spheres.phimax[s_idx])
+        p_local, radius, row[:, 17], row[:, 18], row[:, 19])
     pos = jax.vmap(tf.transform_point)(o2w, p_local)
     dpdu = jax.vmap(tf.transform_vector)(o2w, dpdu_l)
     dpdv = jax.vmap(tf.transform_vector)(o2w, dpdv_l)

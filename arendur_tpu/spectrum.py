@@ -39,17 +39,22 @@ def from_xyz(xyz):
 
 def luminance(rgb):
     """The Y of XYZ — used for light power weighting and Russian
-    roulette (ref: scene.rs:39, pt.rs:118)."""
-    return to_xyz(rgb)[..., 1]
+    roulette (ref: scene.rs:39, pt.rs:118).  Written elementwise (not
+    via the to_xyz matmul) so it fuses on TPU."""
+    return (0.212671 * rgb[..., 0] + 0.715160 * rgb[..., 1]
+            + 0.072169 * rgb[..., 2])
 
 
 def is_black(rgb):
-    return jnp.all(rgb == 0.0, axis=-1)
+    # elementwise & instead of jnp.all: a reduce op ends an XLA fusion
+    return (rgb[..., 0] == 0.0) & (rgb[..., 1] == 0.0) \
+        & (rgb[..., 2] == 0.0)
 
 
 def valid(rgb):
     """NaN/inf/negative check (ref: spectrum/mod.rs:303-307)."""
-    return jnp.all(jnp.isfinite(rgb) & (rgb >= 0.0), axis=-1)
+    ok = jnp.isfinite(rgb) & (rgb >= 0.0)
+    return ok[..., 0] & ok[..., 1] & ok[..., 2]
 
 
 def sanitize(rgb):
