@@ -14,8 +14,12 @@ def fresnel_dielectric(cos_theta_i, etai, etat):
     ci = jnp.abs(cos_theta_i)
     sin2_i = jnp.maximum(1.0 - ci * ci, 0.0)
     # zero-filled (inactive) slots feed eta=0/0 through here; clamp so
-    # unselected-branch primals stay finite for reverse-mode
+    # unselected-branch primals stay finite for reverse-mode.  The
+    # magnitude clamp matters too: |eta| ~ 1e20 makes eta^2 overflow to
+    # inf and eta^2 * sin2_i(=0) a NaN that ESCAPES the total-internal-
+    # reflection select (NaN >= 1.0 is False), poisoning gradients.
     eta = ei / jnp.where(jnp.abs(et) < 1e-20, 1e-20, et)
+    eta = jnp.clip(eta, -1e3, 1e3)
     sin2_t = eta * eta * sin2_i
     total = sin2_t >= 1.0
     ct = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-12))

@@ -41,6 +41,17 @@ from arendur_tpu.bxdf.types import (
 PI = float(jnp.pi)
 INV_PI = 1.0 / PI
 MAX_SLOTS = 3  # glass uses 3 (fresnel + TS-R + TS-T); others fewer
+# Finite ceiling for scalar BRDF multipliers before they touch a
+# color: slot_sample/slot_eval compute EVERY family for every lane and
+# mask afterwards, and an inf in a masked branch poisons reverse-mode
+# (d(c0 * inf)/d c0 = inf meets the mask's zero cotangent -> NaN).
+# 1e12 is far beyond any physical BRDF value; affected samples were
+# already rejected as invalid downstream.
+_FMAX = 1e12
+
+
+def _fin(x):
+    return jnp.clip(x, -_FMAX, _FMAX)
 
 
 @struct.dataclass
@@ -146,7 +157,7 @@ def _ts_r_eval(c0, alpha, eta0, eta1, dist, wo, wi):
     g = mf.visible_both(dist, wo, wi, alpha, alpha)
     fr = fresnel_dielectric(dot(wi, wh), eta0, eta1)
     denom = 4.0 * jnp.abs(wo[..., 2]) * jnp.abs(wi[..., 2])
-    f = c0 * (d * g * fr / jnp.maximum(denom, 1e-20))[..., None]
+    f = c0 * _fin(d * g * fr / jnp.maximum(denom, 1e-20))[..., None]
     return jnp.where(nanmask[..., None], 0.0, f)
 
 
@@ -174,8 +185,9 @@ def _ts_t_eval(c0, alpha, eta0, eta1, dist, wo, wi):
     g = mf.visible_both(dist, wo, wi, alpha, alpha)
     denom = (jnp.abs(frame.cos_theta(wo)) * jnp.abs(frame.cos_theta(wi))
              * sqrt_denom * sqrt_denom)
-    val = c0 * (d * g * (1.0 - fr) * jnp.abs(cosih) * jnp.abs(cosoh)
-                / jnp.maximum(denom, 1e-20))[..., None]
+    val = c0 * _fin(d * g * (1.0 - fr) * jnp.abs(cosih)
+                    * jnp.abs(cosoh)
+                    / jnp.maximum(denom, 1e-20))[..., None]
     # eta == 1 degenerate: reference returns grey(1)
     val = jnp.where(wh_bad[..., None], 1.0, val)
     return jnp.where(same_side[..., None], 0.0, val)
@@ -197,7 +209,7 @@ def _ashikhmin_eval(c0, c1, alpha, dist, wo, wi):
     cosih = dot(wi, wh)
     denom = 4.0 * jnp.abs(cosih) * jnp.maximum(
         jnp.abs(frame.cos_theta(wi)), jnp.abs(frame.cos_theta(wo)))
-    spec = (d / jnp.maximum(denom, 1e-20))[..., None] \
+    spec = _fin(d / jnp.maximum(denom, 1e-20))[..., None] \
         * schlick_fresnel(cosih, c1)
     return jnp.where(degen[..., None], 0.0, diffuse + spec)
 
@@ -304,10 +316,14 @@ def slot_sample(stype, c0, c1, p0, p1, p2, dist, wo, u, present=None):
     if has(T_LAMBERT_R, T_OREN_NAYAR, T_LAMBERT_T):
         from arendur_tpu.sampling.warps import sample_cosw_hemisphere
         wi_cos = sg(sample_cosw_hemisphere(u))
+        # z-flips built by stacking (array constants cannot be captured
+        # by the pallas_shade kernel)
+        wi_cos_flip = jnp.stack(
+            [wi_cos[..., 0], wi_cos[..., 1], -wi_cos[..., 2]], -1)
         wi_same = jnp.where((wo[..., 2] < 0.0)[..., None],
-                            wi_cos * jnp.asarray([1.0, 1.0, -1.0]), wi_cos)
+                            wi_cos_flip, wi_cos)
         wi_opp = jnp.where((wo[..., 2] > 0.0)[..., None],
-                           wi_cos * jnp.asarray([1.0, 1.0, -1.0]), wi_cos)
+                           wi_cos_flip, wi_cos)
         if has(T_LAMBERT_R):
             table[T_LAMBERT_R] = (
                 c0 * INV_PI, wi_same, _cos_pdf_same(wo, wi_same),
@@ -325,30 +341,30 @@ def slot_sample(stype, c0, c1, p0, p1, p2, dist, wo, u, present=None):
     # --- mirror direction (fresnel + perfect specular families) ---------
     if has(T_FRESNEL_SPEC, T_SPECULAR_R, T_SPECULAR_T):
         cos_theta = frame.cos_theta(wo)
-        wi_mirror = wo * jnp.asarray([-1.0, -1.0, 1.0])
+        wi_mirror = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
 
     # --- fresnel specular (FresnelBxdf, fresnel.rs:166-197) -------------
     if has(T_FRESNEL_SPEC):
         fr = fresnel_dielectric(cos_theta, p0, p1)
         refl = ux < fr
-        f_refl = (fr / jnp.maximum(jnp.abs(cos_theta), 1e-20))[..., None] \
-            * c0
+        f_refl = _fin(fr / jnp.maximum(jnp.abs(cos_theta),
+                                       1e-20))[..., None] * c0
         pdf_refl = fr
         entering = cos_theta > 0.0
         etai = jnp.where(entering, p0, p1)
         etao = jnp.where(entering, p1, p0)
-        nrm = jnp.where(entering[..., None],
-                        jnp.asarray([0.0, 0.0, 1.0]),
-                        jnp.asarray([0.0, 0.0, -1.0]))
-        nrm = jnp.broadcast_to(nrm, wo.shape)
+        zsign = jnp.where(entering, 1.0, -1.0)
+        zeros = jnp.zeros_like(zsign)
+        nrm = jnp.stack([zeros, zeros, zsign], -1)
         eta_rel = _safe_ratio(etai, etao)
         wt, ok_t = frame.refract(wo, nrm, sg(eta_rel))
         wt = sg(wt)
         pdf_trans = 1.0 - fr
         f_trans = jnp.where(
             ok_t[..., None],
-            c1 * (eta_rel * eta_rel * pdf_trans
-                  / jnp.maximum(jnp.abs(wt[..., 2]), 1e-20))[..., None],
+            c1 * _fin(eta_rel * eta_rel * pdf_trans
+                      / jnp.maximum(jnp.abs(wt[..., 2]),
+                                    1e-20))[..., None],
             0.0)
         table[T_FRESNEL_SPEC] = (
             jnp.where(refl[..., None], f_refl, f_trans),
@@ -401,7 +417,8 @@ def slot_sample(stype, c0, c1, p0, p1, p2, dist, wo, u, present=None):
             2.0 * dot(wo, wh_a, keepdims=True) * wh_a - wo))
         wi_ad_raw = sample_cosw_hemisphere(u_diff)
         wi_ad = jnp.where((wi_ad_raw[..., 2] < 0.0)[..., None],
-                          wi_ad_raw * jnp.asarray([1.0, 1.0, -1.0]),
+                          jnp.stack([wi_ad_raw[..., 0], wi_ad_raw[..., 1],
+                                     -wi_ad_raw[..., 2]], -1),
                           wi_ad_raw)
         wi_ash = jnp.where(spec_path[..., None], wi_as, wi_ad)
         bad_spec = spec_path & (wo[..., 2] * wi_ash[..., 2] <= 0.0)
@@ -416,7 +433,7 @@ def slot_sample(stype, c0, c1, p0, p1, p2, dist, wo, u, present=None):
     if has(T_SPECULAR_R, T_SPECULAR_T):
         cos_r = frame.cos_theta(wi_mirror)
         fr_sr = fresnel_dielectric(cos_r, p0, p1)
-        inv_c = 1.0 / jnp.maximum(jnp.abs(cos_r), 1e-20)
+        inv_c = _fin(1.0 / jnp.maximum(jnp.abs(cos_r), 1e-20))
         if has(T_SPECULAR_R):
             table[T_SPECULAR_R] = (
                 (fr_sr * inv_c)[..., None] * c0, wi_mirror,
@@ -430,7 +447,8 @@ def slot_sample(stype, c0, c1, p0, p1, p2, dist, wo, u, present=None):
 
     # --- select by slot type --------------------------------------------
     fv = jnp.zeros((n, 3), jnp.float32)
-    wiv = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (n, 3))
+    wiv = jnp.stack([jnp.zeros((n,)), jnp.ones((n,)),
+                     jnp.zeros((n,))], -1).astype(jnp.float32)
     pv = jnp.zeros((n,), jnp.float32)
     kv = jnp.zeros((n,), jnp.int32)
     for t, (f_, wi_, p_, k_) in table.items():

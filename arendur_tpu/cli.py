@@ -45,6 +45,14 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
+    ap.add_argument("--resume", action="store_true",
+                    help="checkpoint the film every few waves and "
+                         "resume from <output>.ckpt.npz if present "
+                         "(bit-identical to an uninterrupted render)")
+    ap.add_argument("--checkpoint-every", type=int, default=4,
+                    help="waves between checkpoints with --resume")
+    ap.add_argument("-v", "--verbose", action="store_true",
+                    help="per-wave progress + invalid-sample warnings")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -73,9 +81,16 @@ def main(argv=None):
     print(f"rendering {args.input}: {film_cfg.resolution[0]}x"
           f"{film_cfg.resolution[1]}, {config.spp} spp, "
           f"depth {config.max_depth}, renderer={args.renderer}")
+    if args.verbose:
+        import logging
+        logging.basicConfig(level=logging.INFO)
     t0 = time.time()
     if args.renderer == "pt":
-        img = integ.render(scene, camera, film_cfg, config)
+        ckpt = (out + ".ckpt.npz") if args.resume else None
+        img = integ.render(scene, camera, film_cfg, config,
+                           checkpoint_path=ckpt,
+                           checkpoint_every=args.checkpoint_every,
+                           progress=args.verbose)
     elif args.renderer == "bpt":
         from arendur_tpu.render import bpt
         img = bpt.render_bpt(scene, camera, film_cfg, config)

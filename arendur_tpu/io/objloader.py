@@ -239,15 +239,18 @@ def material_row_from_mtl(mtl: Optional[Mtl], atlas_builder=None,
                 roughness=roughness, **texes)
 
 
-def load_obj_into(builder, path: str, transform=None):
-    """component::load_obj analogue: parse, infer materials, append
-    all (object, material) groups to a SceneBuilder.  Image maps are
-    registered on the builder's atlas when it has one."""
+def load_obj_groups(builder, path: str):
+    """Parse an .obj, register its materials/textures on the builder,
+    and return the (object, material) groups as dicts WITHOUT adding
+    geometry — the shared-data form used by
+    SceneBuilder.add_instanced_mesh (ref: component/transformed.rs:20;
+    the mesh is loaded once however many instances reference it)."""
     meshes = parse_obj(path)
     mat_cache: Dict[str, int] = {}
     atlas_builder = getattr(builder, "atlas", None)
     tex_cache = getattr(builder, "tex_cache", {})
     base = os.path.dirname(os.path.abspath(path))
+    groups = []
     for mesh in meshes:
         mtl_key = mesh.material.name if mesh.material else "<default>"
         if mtl_key not in mat_cache:
@@ -255,7 +258,19 @@ def load_obj_into(builder, path: str, transform=None):
                 **material_row_from_mtl(
                     mesh.material, atlas_builder=atlas_builder,
                     tex_cache=tex_cache, base=base))
+        groups.append(dict(vertices=mesh.vertices, faces=mesh.faces,
+                           normals=mesh.normals, uvs=mesh.uvs,
+                           mat_id=mat_cache[mtl_key]))
+    return groups
+
+
+def load_obj_into(builder, path: str, transform=None):
+    """component::load_obj analogue: parse, infer materials, append
+    all (object, material) groups to a SceneBuilder.  Image maps are
+    registered on the builder's atlas when it has one."""
+    groups = load_obj_groups(builder, path)
+    for g in groups:
         builder.add_mesh(
-            mesh.vertices, mesh.faces, mat_cache[mtl_key],
-            normals=mesh.normals, uvs=mesh.uvs, transform=transform)
-    return meshes
+            g["vertices"], g["faces"], g["mat_id"],
+            normals=g["normals"], uvs=g["uvs"], transform=transform)
+    return groups

@@ -103,6 +103,27 @@ class _TextureRegistry:
             if all(abs(c - 1.0) < 1e-9 for c in const):
                 return (1.0, 1.0, 1.0), img
             return (1.0, 1.0, 1.0), atlas.add_product(img, const=const)
+        if "Mix" in desc:
+            # schema extension: the reference ships MixTexture as a
+            # library type only (texturing/textures/mod.rs:62-94) with
+            # no arencli desc; we expose it as {"Mix": {"ta", "tb",
+            # "l": float}} over named textures
+            body = desc["Mix"]
+            ta = self.rgb.values.get(body["ta"])
+            tb = self.rgb.values.get(body["tb"])
+            if ta is None or tb is None:
+                return (1.0, 1.0, 1.0), -1
+            lv = float(body.get("l", 0.5))
+            (ca, ia), (cb, ib) = ta, tb
+            if ia < 0 and ib < 0:
+                return tuple(a * (1 - lv) + b * lv
+                             for a, b in zip(ca, cb)), -1
+            atlas = self.texctx["builder"].atlas
+            mk = lambda c: atlas.add_image(
+                np.broadcast_to(np.asarray(c, np.float32), (1, 1, 3)))
+            i0 = ia if ia >= 0 else mk(ca)
+            i1 = ib if ib >= 0 else mk(cb)
+            return (1.0, 1.0, 1.0), atlas.add_mix(i0, i1, l=lv)
         raise NotImplementedError(
             f"texture desc {list(desc.keys())} not supported")
 
@@ -188,6 +209,8 @@ def parse_scene(path: str, spp_override: Optional[int] = None,
     mat_ids: Dict[str, int] = {}
     # spheres registered by component name for "Transformed" instancing
     sphere_specs: Dict[str, dict] = {}
+    mesh_specs: Dict[str, dict] = {}
+    mesh_instances: Dict[str, list] = {}
 
     for light in desc.get("lights", []):
         (kind, body), = light.items()
@@ -220,7 +243,10 @@ def parse_scene(path: str, spp_override: Optional[int] = None,
                         fname = cand
                         break
             transform = _mat4(body.get("transform"))
-            load_obj_into(builder, fname, transform=transform)
+            # defer: a later "Transformed" may instance this mesh, in
+            # which case the geometry is loaded ONCE and placed by
+            # per-instance transforms (ref: component/transformed.rs:20)
+            mesh_specs[name] = dict(fname=fname, transform=transform)
         elif kind == "Shaped":
             shape = body["shape"]
             (sk, sphere), = shape.items()
@@ -269,10 +295,15 @@ def parse_scene(path: str, spp_override: Optional[int] = None,
                 emission=emission, emission_tex=etex,
                 emission_tex_mean=etex_mean)
         elif kind == "Transformed":
+            t = _mat4(body["transform"])
+            if body["original"] in mesh_specs:
+                # mesh instancing: shared geometry, composed transform
+                mesh_instances.setdefault(body["original"], []).append(
+                    mesh_specs[body["original"]]["transform"] @ t)
+                continue
             orig = sphere_specs.get(body["original"])
             if orig is None:
                 continue
-            t = _mat4(body["transform"])
             # outer transform applies after the original's own
             composed = orig["transform"] @ t
             s = orig["spec"]
@@ -281,6 +312,19 @@ def parse_scene(path: str, spp_override: Optional[int] = None,
                 s["mat_id"], transform=composed, emission=s["emission"],
                 emission_tex=s["emission_tex"],
                 emission_tex_mean=s["emission_tex_mean"])
+
+    # materialize deferred meshes: plain bake when placed once,
+    # shared-geometry instancing when "Transformed" references exist
+    for mname, spec in mesh_specs.items():
+        extra = mesh_instances.get(mname, [])
+        if not extra:
+            load_obj_into(builder, spec["fname"],
+                          transform=spec["transform"])
+        else:
+            from arendur_tpu.io.objloader import load_obj_groups
+            groups = load_obj_groups(builder, spec["fname"])
+            builder.add_instanced_mesh(
+                groups, [spec["transform"]] + extra)
 
     scene = builder.build(intersector=intersector)
 

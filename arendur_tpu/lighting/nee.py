@@ -113,7 +113,11 @@ def light_sample(scene: sc.SceneData, lidx, pos, u2):
         wi_ln = wi_l * jax.lax.rsqrt(jnp.maximum(d2_l, 1e-20))[..., None]
         # solid-angle conversion (ref: shape/mod.rs:52-64)
         denom = jnp.abs(dot(ln_l, wi_ln))
-        pdf_s = pdf_area_s * d2_l / jnp.maximum(denom, 1e-20)
+        # pre-masked reciprocal (NaN-free reverse-mode; see
+        # integrator bounce_step note)
+        inv_den = jnp.where(denom > 1e-20,
+                            1.0 / jnp.maximum(denom, 1e-20), 0.0)
+        pdf_s = pdf_area_s * d2_l * inv_den
         pdf_s = jnp.where((d2_l < 1e-12) | ~jnp.isfinite(pdf_s), 0.0,
                           pdf_s)
         # front-facing emission only (ref: component/shape.rs:115-128)
@@ -139,7 +143,9 @@ def light_sample(scene: sc.SceneData, lidx, pos, u2):
         d2_t = length2(wi_t)
         wi_tn = wi_t * jax.lax.rsqrt(jnp.maximum(d2_t, 1e-20))[..., None]
         denom_t = jnp.abs(dot(ln_t, wi_tn))
-        pdf_t = pdf_area_t * d2_t / jnp.maximum(denom_t, 1e-20)
+        inv_den_t = jnp.where(denom_t > 1e-20,
+                              1.0 / jnp.maximum(denom_t, 1e-20), 0.0)
+        pdf_t = pdf_area_t * d2_t * inv_den_t
         pdf_t = jnp.where((d2_t < 1e-12) | ~jnp.isfinite(pdf_t), 0.0,
                           pdf_t)
         front_t = dot(pos - lp_t, ln_t) > 0.0
@@ -310,9 +316,13 @@ def light_branch(scene: sc.SceneData, hit: sc.Hit, bsdf: sl.BsdfSlots,
     need_shadow = ~no_effect & ~spec.is_black(f)
     blocked = _occlusion_query(scene, hit, ls["pfrom"], n_alive=n_alive)
     f = jnp.where(blocked[..., None], 0.0, f)
-    safe_lpdf = jnp.maximum(ls["pdf"], 1e-20)
+    # pre-masked reciprocal: a tiny light pdf overflows the division on
+    # lanes later masked out; backward of the masked product would
+    # emit 0 * inf = NaN (see integrator bounce_step note)
+    inv_lpdf = jnp.where(ls["pdf"] > 1e-18,
+                         1.0 / jnp.maximum(ls["pdf"], 1e-18), 0.0)
     w_mis = warps.power_heuristic(1, ls["pdf"], 1, spdf)
-    contrib_delta = ls["radiance"] * f / safe_lpdf[..., None]
+    contrib_delta = ls["radiance"] * f * inv_lpdf[..., None]
     contrib_area = contrib_delta * w_mis[..., None]
     contrib = jnp.where(ls["delta"][..., None], contrib_delta,
                         contrib_area)

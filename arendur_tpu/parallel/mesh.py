@@ -102,23 +102,28 @@ def sharded_train_step_fn(scene: sc.SceneData, camera: cam.CameraData,
                           lr: float = 0.05):
     """One material-optimization step, sharded over rays.
 
-    Returns jitted fn(kd_params [M,3], target [H*W,3], ray_idx [N])
-    -> (new_kd, loss).  Loss is the film-MSE against the target; the
-    gradient w.r.t. the diffuse material table flows through the
-    differentiable render (detached-sampling estimator) and is
-    psum-reduced over the mesh along with the film.
+    Returns jitted fn(params, target [H*W,3], ray_idx [N])
+    -> (new_params, loss).  params is a dict with any of the keys
+    {"kd", "ks", "roughness"} (material-table columns); the loss is
+    the film-MSE against the target; gradients flow through the
+    differentiable render (detached-sampling estimator) and are
+    psum-reduced over the mesh along with the film.  A bare [M,3]
+    array is accepted as {"kd": ...} for backward compatibility.
     """
     w, h = film_cfg.resolution
     spp = config.spp
     base_key = smp.make_base_key(config.seed)
     total = w * h * spp
 
-    def local_step(kd, target, ray_idx):
+    def local_step(params, target, ray_idx):
         ray_idx = ray_idx.reshape(-1)
+        bare = not isinstance(params, dict)
+        if bare:
+            params = {"kd": params}
 
-        def loss_fn(kd):
+        def loss_fn(params):
             scene2 = scene.replace(
-                materials=scene.materials.replace(kd=kd))
+                materials=scene.materials.replace(**params))
             pixel_id = ray_idx // spp
             sample_id = ray_idx % spp
             px = (pixel_id % w).astype(jnp.float32)
@@ -139,18 +144,19 @@ def sharded_train_step_fn(scene: sc.SceneData, camera: cam.CameraData,
             return jnp.sum(jnp.where(mask, (img - target) ** 2, 0.0)) \
                 / jnp.maximum(jnp.sum(mask), 1.0)
 
-        loss, grad = jax.value_and_grad(loss_fn)(kd)
-        # Sanitize non-finite gradient entries: rare firefly paths
-        # (grazing-angle Oren-Nayar bounces off emitter spheres) can
-        # overflow f32 reverse-mode for single material rows.  This is
-        # the gradient-space analog of the reference dropping invalid
-        # radiance samples (pt.rs:152-156).  TODO(round2): chase the
-        # remaining overflow so this becomes a no-op.
-        grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
+        loss, grad = jax.value_and_grad(loss_fn)(params)
+        # The round-1 non-finite-gradient overflow was root-caused to
+        # masked-where backward NaNs (inf primal x zero cotangent in
+        # the beta/pdf products); those products are now pre-masked
+        # (integrator bounce_step, nee.light_branch/light_sample), so
+        # gradients are finite by construction — tests/test_grad.py
+        # asserts this with NO masking.
         # grads of replicated params are identical after the psum
         # inside loss_fn; plain SGD step
-        new_kd = kd - lr * grad
-        return new_kd, loss
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grad)
+        if bare:
+            return new_params["kd"], loss
+        return new_params, loss
 
     fn = shard_map(local_step, mesh=mesh,
                    in_specs=(P(), P(), P(AXIS)),

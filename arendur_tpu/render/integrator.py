@@ -120,11 +120,14 @@ def _compact_perm(alive):
 
 def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
                config: RenderConfig, pixel_xy, pixel_id, sample_id,
-               base_key):
+               base_key, return_aux: bool = False):
     """Trace one wave of rays; returns (pfilm [N,2], L [N,3]).
 
     pixel_xy: [N,2] integer pixel coords (float); pixel_id/sample_id:
     [N] int32 for the stateless sampler.
+    return_aux: additionally return {"n_invalid": scalar} — the count
+    of lanes whose radiance was dropped as invalid (the wavefront
+    analogue of the reference's per-sample warn, pt.rs:152-156).
     """
     from arendur_tpu.geometry.vec import as_jax
     scene = as_jax(scene)
@@ -193,7 +196,11 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
                           carry["sel_prev"], carry["wb_prev"],
                           carry["nee_prev"], carry["st"])
         dim0 = smp.BOUNCE_DIM_BASE + bounce * smp.DIMS_PER_BOUNCE
-        hit = sc.intersect(scene, o, d, n_alive=n_alive)
+        # named phases mirror the reference's flame spans
+        # ("pt rendering" / "pt light calculation" / "pt add sample",
+        # pt.rs:129-157); they label the HLO ops for jax.profiler
+        with jax.named_scope("pt_intersect"):
+            hit = sc.intersect(scene, o, d, n_alive=n_alive)
         lane_active = alive & hit.hit
 
         # (2) emitted radiance (ref: pt.rs:72-78; le() via the
@@ -235,9 +242,10 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         do_nee = lane_active & (sl.match_count(bsdf, ALL_NON_SPECULAR) > 0)
         u_sel = draw1(st, dim0 + smp.DIM_LIGHT_SELECT)
         u_light = draw2(st, dim0 + smp.DIM_LIGHT_U)
-        direct, lidx, selpdf = nee.uniform_sample_one_light(
-            scene, hit, bsdf, wo, u_sel, u_light, n_alive=n_alive,
-            textures=config.textures)
+        with jax.named_scope("pt_light_calculation"):
+            direct, lidx, selpdf = nee.uniform_sample_one_light(
+                scene, hit, bsdf, wo, u_sel, u_light, n_alive=n_alive,
+                textures=config.textures)
         L = L + jnp.where(do_nee[..., None], beta * direct, 0.0)
 
         # (4) bsdf sample for path continuation (ref: pt.rs:92-103);
@@ -252,8 +260,17 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         sel_prev = jnp.where(lane_active, lidx, sel_prev)
         wb_prev = jnp.where(lane_active, wb, wb_prev)
         nee_prev = do_nee
-        new_beta = beta * f * (jnp.abs(dot(wi, bsdf.ns))
-                               / jnp.maximum(pdf, 1e-20))[..., None]
+        # NaN-free reverse-mode: the cos/pdf ratio can overflow f32 on
+        # degenerate samples; masking the PRODUCT after the fact leaves
+        # an inf primal inside the multiply, whose backward emits
+        # 0 * inf = NaN into beta's cotangent (this was the round-1
+        # "non-finite gradient" — pre-mask the ratio instead and kill
+        # the lane exactly as the old inf path did).
+        ratio = jnp.abs(dot(wi, bsdf.ns)) / jnp.maximum(pdf, 1e-20)
+        overflow = ratio > 1e12
+        cont = cont & ~overflow
+        ratio = jnp.where(cont, jnp.minimum(ratio, 1e12), 0.0)
+        new_beta = beta * f * ratio[..., None]
         beta_ok = spec.valid(new_beta)
         beta = jnp.where((cont & beta_ok)[..., None], new_beta, beta)
         alive = lane_active & cont & beta_ok
@@ -326,13 +343,28 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
 
     # invalid radiance becomes black, as the renderer does before
     # add_sample (pt.rs:152-156)
+    if return_aux:
+        n_invalid = jnp.sum((~spec.valid(L)).astype(jnp.int32))
+        return pfilm, spec.sanitize(L), {"n_invalid": n_invalid}
     return pfilm, spec.sanitize(L)
 
 
 def render(scene: sc.SceneData, camera: cam.CameraData,
-           film_cfg: flm.FilmConfig, config: RenderConfig):
+           film_cfg: flm.FilmConfig, config: RenderConfig,
+           checkpoint_path: str = None, checkpoint_every: int = 0,
+           progress: bool = False):
     """Full render: iterate waves over (pixels x spp), splat to film,
-    finalize.  Returns the [H, W, 3] image."""
+    finalize.  Returns the [H, W, 3] image.
+
+    checkpoint_path: if set, resume from the file when it exists and
+    save the film + cursor there every `checkpoint_every` waves (and at
+    the end).  The counter-based sampler makes the resumed render
+    bit-identical to an uninterrupted one (utils.py: the TPU analogue
+    of Sampler::set_sample_index, sample/mod.rs:93).
+    progress: log per-wave progress + invalid-sample warnings
+    (mirroring the reference's info/warn logging, pt.rs:75,99,130).
+    """
+    from arendur_tpu import utils
     w, h = film_cfg.resolution
     spp = config.spp
     base_key = smp.make_base_key(config.seed)
@@ -343,6 +375,17 @@ def render(scene: sc.SceneData, camera: cam.CameraData,
     # tile the frame exactly; otherwise fall back to the scatter splat
     dense = (wave % spp == 0) and (total % wave == 0)
     state = flm.film_init(film_cfg, padded=dense)
+    start_wave = 0
+    n_waves = (total + wave - 1) // wave
+    if checkpoint_path:
+        ck = utils.load_checkpoint(checkpoint_path)
+        if ck is not None:
+            st, next_ray, seed, meta = ck
+            if seed == config.seed and meta.get("wave") == wave \
+                    and st.rgb.shape == state.rgb.shape:
+                state, start_wave = st, next_ray // wave
+                utils.log.info("resumed at wave %d/%d from %s",
+                               start_wave, n_waves, checkpoint_path)
 
     @jax.jit
     def run_wave(state, ray_idx):
@@ -352,17 +395,36 @@ def render(scene: sc.SceneData, camera: cam.CameraData,
         py = (pixel_id // w).astype(jnp.float32)
         pixel_xy = jnp.stack([px, py], -1)
         valid = ray_idx < total
-        pfilm, L = trace_wave(scene, camera, config, pixel_xy,
-                              pixel_id.astype(jnp.int32),
-                              sample_id.astype(jnp.int32), base_key)
+        pfilm, L, aux = trace_wave(scene, camera, config, pixel_xy,
+                                   pixel_id.astype(jnp.int32),
+                                   sample_id.astype(jnp.int32),
+                                   base_key, return_aux=True)
         if dense:
-            return flm.film_splat_pixmajor(
+            state = flm.film_splat_pixmajor(
                 film_cfg, state, pfilm - pixel_xy, L,
                 ray_idx[0] // spp, spp, mask=valid)
-        return flm.film_splat(film_cfg, state, pfilm, L, mask=valid)
+        else:
+            state = flm.film_splat(film_cfg, state, pfilm, L, mask=valid)
+        return state, aux["n_invalid"]
 
-    n_waves = (total + wave - 1) // wave
-    for i in range(n_waves):
+    for i in range(start_wave, n_waves):
         ray_idx = i * wave + jnp.arange(wave, dtype=jnp.int32)
-        state = run_wave(state, ray_idx)
-    return flm.film_finalize(state, film_cfg)
+        with utils.profile_phase("pt rendering"):
+            state, n_invalid = run_wave(state, ray_idx)
+        if progress:
+            ni = int(n_invalid)
+            if ni:
+                # ref: pt.rs:152-156 warns per invalid sample
+                utils.log.warning("wave %d: dropped %d invalid "
+                                  "radiance samples", i, ni)
+            utils.log.info("wave %d/%d done", i + 1, n_waves)
+        if checkpoint_path and checkpoint_every \
+                and (i + 1) % checkpoint_every == 0:
+            utils.save_checkpoint(checkpoint_path, state,
+                                  (i + 1) * wave, config.seed,
+                                  meta={"wave": wave})
+    if checkpoint_path:
+        utils.save_checkpoint(checkpoint_path, state, n_waves * wave,
+                              config.seed, meta={"wave": wave})
+    with utils.profile_phase("pt add sample"):
+        return flm.film_finalize(state, film_cfg)

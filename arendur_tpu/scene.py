@@ -159,6 +159,29 @@ def light_emission(lights: LightTable, lidx, uv, textures=None):
 
 
 @struct.dataclass
+class InstancedMesh:
+    """One mesh kept in LOCAL space, placed I times by per-instance
+    transforms (ref: component/transformed.rs:20 TransformedComposable
+    — object-to-world instancing; geometry memory does not scale with
+    the instance count).  Rays are transformed into mesh space per
+    instance (t is preserved: the direction is transformed by the
+    linear part, unnormalized), tested against the SHARED cluster
+    tables, and the winning hit's shading frame is transformed back
+    (normals via inverse-transpose, transformed.rs:54-62)."""
+    cw: jnp.ndarray       # [C,16,4K] cluster determinant weights (local)
+    cbox: jnp.ndarray     # [C,8] cluster AABBs (local)
+    remap: jnp.ndarray    # [C*K] slot -> local tri id
+    attr: jnp.ndarray     # [T,26] packed v/n/uv/mat/light rows (local)
+    o2w: jnp.ndarray      # [I,4,4] row-vector convention
+    w2o: jnp.ndarray      # [I,4,4]
+    nrm: jnp.ndarray      # [I,3,3] inverse-transpose linear part
+
+    @property
+    def n_instances(self):
+        return self.o2w.shape[0]
+
+
+@struct.dataclass
 class SceneData:
     tri_v0: jnp.ndarray
     tri_v1: jnp.ndarray
@@ -181,6 +204,9 @@ class SceneData:
     tri_cw: Optional[jnp.ndarray] = None
     tri_cbox: Optional[jnp.ndarray] = None
     tri_remap: Optional[jnp.ndarray] = None
+    # instanced meshes (shared local-space geometry, per-instance
+    # transforms; ref: component/transformed.rs:20)
+    inst: tuple = ()
     light_distribution: Distribution1D = None
 
     @property
@@ -225,6 +251,7 @@ class SceneBuilder:
         self.sphere_rows = []
         self.material_rows = []
         self.light_rows = []
+        self.instanced = []   # add_instanced_mesh records
         from arendur_tpu.texturing.texture import AtlasBuilder
         self.atlas = AtlasBuilder()   # image textures (obj/JSON maps)
         self.tex_cache = {}           # (path, gamma) -> texture id
@@ -292,6 +319,53 @@ class SceneBuilder:
         self.tuv2.append(uv2)
         self.tmat.append(np.full(nf, mat_id, np.int32))
         self.tlight.append(light_ids)
+
+    def add_instanced_mesh(self, groups, transforms):
+        """Add a mesh placed by MULTIPLE instance transforms sharing
+        one copy of the geometry (ref: component/transformed.rs:20).
+
+        groups: list of dicts with keys vertices [V,3], faces [F,3],
+        mat_id, optional normals/uvs — the (object, material) groups of
+        one source mesh (e.g. one .obj file), kept in LOCAL space.
+        transforms: [I,4,4] per-instance object-to-world matrices
+        (row-vector convention).  Emissive instanced groups are not
+        supported (area lights bake world-space geometry)."""
+        v0s, v1s, v2s, n0s, n1s, n2s = [], [], [], [], [], []
+        uv0s, uv1s, uv2s, mats_ = [], [], [], []
+        for g in groups:
+            v = np.asarray(g["vertices"], np.float32)
+            f = np.asarray(g["faces"], np.int64)
+            p0, p1, p2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+            nf = len(f)
+            normals = g.get("normals")
+            if normals is not None and len(normals):
+                nn = np.asarray(normals, np.float32)
+                n0, n1, n2 = nn[f[:, 0]], nn[f[:, 1]], nn[f[:, 2]]
+            else:
+                fn = np.cross(p1 - p0, p2 - p0)
+                fn = fn / np.maximum(
+                    np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
+                n0 = n1 = n2 = fn
+            uvs = g.get("uvs")
+            if uvs is not None and len(uvs):
+                uu = np.asarray(uvs, np.float32)
+                uv0, uv1, uv2 = uu[f[:, 0]], uu[f[:, 1]], uu[f[:, 2]]
+            else:
+                uv0 = np.tile(np.array([0., 0.], np.float32), (nf, 1))
+                uv1 = np.tile(np.array([1., 0.], np.float32), (nf, 1))
+                uv2 = np.tile(np.array([1., 1.], np.float32), (nf, 1))
+            v0s.append(p0); v1s.append(p1); v2s.append(p2)
+            n0s.append(n0); n1s.append(n1); n2s.append(n2)
+            uv0s.append(uv0); uv1s.append(uv1); uv2s.append(uv2)
+            mats_.append(np.full(nf, g["mat_id"], np.float32))
+        cat = lambda L: np.concatenate(L, 0)
+        attr = np.concatenate([
+            cat(v0s), cat(v1s), cat(v2s), cat(n0s), cat(n1s), cat(n2s),
+            cat(uv0s), cat(uv1s), cat(uv2s), cat(mats_)[:, None],
+            np.full((sum(len(m) for m in mats_), 1), -1.0, np.float32),
+        ], axis=1)
+        ts = np.stack([np.asarray(t, np.float32) for t in transforms])
+        self.instanced.append(dict(attr=attr, transforms=ts))
 
     def add_sphere(self, radius, zmin, zmax, phimax, mat_id: int,
                    transform=None, emission=None,
@@ -459,8 +533,20 @@ class SceneBuilder:
             tabs = build_clusters(v0, v1, v2)
             cw, cbox, remap = (tabs["w_chunks"], tabs["cbox"],
                                tabs["remap"])
+        inst = []
+        for rec in self.instanced:
+            from arendur_tpu.accel.clusters import build_clusters
+            a = rec["attr"]
+            itabs = build_clusters(a[:, 0:3], a[:, 3:6], a[:, 6:9])
+            ts = rec["transforms"]
+            lin = ts[:, :3, :3]
+            inst.append(InstancedMesh(
+                cw=itabs["w_chunks"], cbox=itabs["cbox"],
+                remap=itabs["remap"], attr=a,
+                o2w=ts, w2o=np.stack([np.linalg.inv(t) for t in ts]),
+                nrm=np.stack([np.linalg.inv(m).T for m in lin])))
         return SceneData(
-            bvh=bvh,
+            bvh=bvh, inst=tuple(inst),
             tri_cw=cw, tri_cbox=cbox, tri_remap=remap,
             tri_v0=v0, tri_v1=v1, tri_v2=v2,
             tri_n0=catf(self.tn0, (3,)),
@@ -575,32 +661,98 @@ def intersect(scene: SceneData, o, d, tmax=None, n_alive=None) -> Hit:
     tri_hit = tri_idx >= 0
     t_tri = jnp.where(tri_hit, t_tri, jnp.inf)
 
-    sp = sph.intersect_spheres(scene.spheres, o, d,
-                               jnp.minimum(tmax, t_tri))
-    use_sphere = sp["hit"]  # already closer than t_tri via tmax clamp
-    any_hit = tri_hit | use_sphere
-    t = jnp.where(use_sphere, sp["t"], t_tri)
+    def _tri_shading(trow, b0, b1):
+        """Shading info from a packed attribute row + barycentrics
+        (shared by the world-space pool and instanced meshes)."""
+        v0 = trow[:, 0:3]
+        v1 = trow[:, 3:6]
+        v2 = trow[:, 6:9]
+        b2 = 1.0 - b0 - b1
+        pos = b0[:, None] * v0 + b1[:, None] * v1 + b2[:, None] * v2
+        perr = _GAMMA7 * (
+            jnp.abs(b0[:, None] * v0) + jnp.abs(b1[:, None] * v1)
+            + jnp.abs(b2[:, None] * v2))
+        uv0 = trow[:, 18:20]
+        uv1 = trow[:, 20:22]
+        uv2 = trow[:, 22:24]
+        uv = b0[:, None] * uv0 + b1[:, None] * uv1 + b2[:, None] * uv2
+        dpdu, dpdv = tri.tri_dpduv(v0, v1, v2, uv0, uv1, uv2)
+        ns_raw = normalize(
+            b0[:, None] * trow[:, 9:12] + b1[:, None] * trow[:, 12:15]
+            + b2[:, None] * trow[:, 15:18])
+        return pos, perr, uv, dpdu, dpdv, ns_raw
 
-    b2 = 1.0 - b0 - b1
-    pos_tri = b0[:, None] * v0 + b1[:, None] * v1 + b2[:, None] * v2
-    perr_tri = _GAMMA7 * (
-        jnp.abs(b0[:, None] * v0) + jnp.abs(b1[:, None] * v1)
-        + jnp.abs(b2[:, None] * v2))
-    uv0 = trow[:, 18:20]
-    uv1 = trow[:, 20:22]
-    uv2 = trow[:, 22:24]
-    uv_tri = b0[:, None] * uv0 + b1[:, None] * uv1 + b2[:, None] * uv2
-    dpdu_tri, dpdv_tri = tri.tri_dpduv(v0, v1, v2, uv0, uv1, uv2)
+    pos_tri, perr_tri, uv_tri, dpdu_tri, dpdv_tri, ns_raw = \
+        _tri_shading(trow, b0, b1)
     ng_tri = normalize(cross(dpdu_tri, dpdv_tri))
-    ns_raw = normalize(
-        b0[:, None] * trow[:, 9:12] + b1[:, None] * trow[:, 12:15]
-        + b2[:, None] * trow[:, 15:18])
     # orient shading normal to agree with geometric
     # (ref: interaction.rs:167-181 with orient_norm_by_shading=true)
     flip = dot(ns_raw, ng_tri) < 0.0
     ns_tri = jnp.where(flip[:, None], -ns_raw, ns_raw)
     mat_tri = trow[:, 24].astype(jnp.int32)
     light_tri = trow[:, 25].astype(jnp.int32)
+    prim_tri = tri_idx
+
+    # --- instanced meshes: shared local-space tables, per-instance ray
+    # transform (ref: component/transformed.rs:54-62; t is invariant
+    # because the direction is transformed by the linear part only) ---
+    prim_base = scene.n_tris + scene.spheres.count
+    for im in scene.inst:
+        I = im.o2w.shape[0]
+        T_m = im.attr.shape[0]
+        for i in range(I):
+            w2o = im.w2o[i]
+            ol = o @ w2o[:3, :3] + w2o[3, :3]
+            dl = d @ w2o[:3, :3]
+            cur_bound = jnp.minimum(tmax, t_tri)
+            if _use_pallas_intersect():
+                from arendur_tpu.shapes import pallas_intersect as pli
+                t_i, slot_i = pli.intersect_clusters(
+                    im.cw, im.cbox, ol, dl, cur_bound, n_alive=n_alive)
+            else:
+                ki = im.cw.shape[-1] // 4
+                t_i, slot_i, _, _ = mxi.intersect_mxu(
+                    im.cw, ol, dl, cur_bound,
+                    im.cw.shape[0] * ki, chunk=ki)
+            li = jnp.where(slot_i >= 0,
+                           im.remap[jnp.maximum(slot_i, 0)], -1)
+            hit_i = (li >= 0) & (t_i < t_tri)
+            irow = im.attr[jnp.maximum(li, 0)]
+            b0i, b1i = _bary_from_vertices(
+                ol, dl, irow[:, 0:3], irow[:, 3:6], irow[:, 6:9])
+            pos_l, perr_l, uv_i, dpdu_l, dpdv_l, ns_l = \
+                _tri_shading(irow, b0i, b1i)
+            lin = im.o2w[i, :3, :3]
+            pos_w = pos_l @ lin + im.o2w[i, 3, :3]
+            dpdu_w = dpdu_l @ lin
+            dpdv_w = dpdv_l @ lin
+            ng_w = normalize(cross(dpdu_w, dpdv_w))
+            ns_w = normalize(ns_l @ im.nrm[i])
+            flip_i = dot(ns_w, ng_w) < 0.0
+            ns_w = jnp.where(flip_i[:, None], -ns_w, ns_w)
+            perr_w = perr_l @ jnp.abs(lin) + 1e-7 * jnp.abs(pos_w)
+            m = hit_i[:, None]
+            sel1 = lambda a, b: jnp.where(hit_i, a, b)
+            sel3 = lambda a, b: jnp.where(m, a, b)
+            t_tri = sel1(t_i, t_tri)
+            tri_hit = tri_hit | hit_i
+            pos_tri = sel3(pos_w, pos_tri)
+            perr_tri = sel3(perr_w, perr_tri)
+            uv_tri = sel3(uv_i, uv_tri)
+            dpdu_tri = sel3(dpdu_w, dpdu_tri)
+            dpdv_tri = sel3(dpdv_w, dpdv_tri)
+            ng_tri = sel3(ng_w, ng_tri)
+            ns_tri = sel3(ns_w, ns_tri)
+            mat_tri = sel1(irow[:, 24].astype(jnp.int32), mat_tri)
+            light_tri = sel1(jnp.full_like(mat_tri, -1), light_tri)
+            prim_tri = sel1(prim_base + li, prim_tri)
+            prim_base += T_m
+
+    sp = sph.intersect_spheres(scene.spheres, o, d,
+                               jnp.minimum(tmax, t_tri))
+    use_sphere = sp["hit"]  # already closer than t_tri via tmax clamp
+    any_hit = tri_hit | use_sphere
+    t = jnp.where(use_sphere, sp["t"], t_tri)
 
     # --- sphere shading info ---
     s_idx = jnp.maximum(sp["sphere_idx"], 0)
@@ -613,7 +765,7 @@ def intersect(scene: SceneData, o, d, tmax=None, n_alive=None) -> Hit:
     pick1 = lambda a, b: jnp.where(use_sphere, a, b)
     prim = jnp.where(
         any_hit,
-        pick1(scene.n_tris + jnp.maximum(sp["sphere_idx"], 0), tri_idx),
+        pick1(scene.n_tris + jnp.maximum(sp["sphere_idx"], 0), prim_tri),
         -1).astype(jnp.int32)
 
     # miss lanes get a benign default interaction so no garbage (or
@@ -662,6 +814,19 @@ def occluded(scene: SceneData, o, d, tmax, n_alive=None) -> jnp.ndarray:
     else:
         blocked_t = tri.occluded_tris(
             o, d, tmax, scene.tri_v0, scene.tri_v1, scene.tri_v2)
+    for im in scene.inst:
+        for i in range(im.o2w.shape[0]):
+            w2o = im.w2o[i]
+            ol = o @ w2o[:3, :3] + w2o[3, :3]
+            dl = d @ w2o[:3, :3]
+            if _use_pallas_intersect():
+                from arendur_tpu.shapes import pallas_intersect as pli
+                blocked_t = blocked_t | pli.occluded_clusters(
+                    im.cw, im.cbox, ol, dl, tmax, n_alive=n_alive)
+            else:
+                ki = im.cw.shape[-1] // 4
+                blocked_t = blocked_t | mxi.occluded_mxu(
+                    im.cw, ol, dl, tmax, im.cw.shape[0] * ki, chunk=ki)
     sp = sph.intersect_spheres(scene.spheres, o, d, tmax)
     return blocked_t | sp["hit"]
 

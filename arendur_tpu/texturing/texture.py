@@ -89,29 +89,68 @@ class AtlasBuilder:
                                 uv_scale=uv_scale, uv_shift=uv_shift))
         return len(self.images) - 1
 
+    @staticmethod
+    def _resample_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
+        """Bilinearly resample [H0,W0,3] -> [h,w,3] (texel centers)."""
+        h0, w0 = img.shape[:2]
+        if (h0, w0) == (h, w):
+            return img
+        fy = (np.arange(h) + 0.5) * h0 / h - 0.5
+        fx = (np.arange(w) + 0.5) * w0 / w - 0.5
+        y0 = np.clip(np.floor(fy).astype(int), 0, h0 - 1)
+        x0 = np.clip(np.floor(fx).astype(int), 0, w0 - 1)
+        y1 = np.minimum(y0 + 1, h0 - 1)
+        x1 = np.minimum(x0 + 1, w0 - 1)
+        wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+        wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+        r0 = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+        r1 = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+        return (r0 * (1 - wy) + r1 * wy).astype(np.float32)
+
     def add_product(self, ta: int, tb=None, const=None) -> int:
         """Product texture (ref: texturing/textures/mod.rs ProductTexture,
         arencli.rs RGBTextureDesc::Product), baked host-side: the level-0
         image of `ta` multiplied per-texel by `const` [3] and/or by
         texture `tb` (bilinearly resampled to ta's resolution; both
         factors are evaluated at the same uv in the reference, so the
-        pixel product is exact when resolutions match)."""
+        pixel product is exact when resolutions match).  tb's scalar
+        scale multiplies into the product (its wrap/uv mapping is taken
+        from ta, matching the reference evaluating both factors at the
+        same mapped uv)."""
         base = self.images[ta]["levels"][0]
         out = np.array(base, np.float32)
+        scale = self.images[ta]["scale"]
         if const is not None:
             out = out * np.asarray(const, np.float32).reshape(1, 1, 3)
         if tb is not None:
-            other = self.images[tb]["levels"][0]
+            imb = self.images[tb]
             h, w = out.shape[:2]
-            yi = np.minimum((np.arange(h) * other.shape[0]) // h,
-                            other.shape[0] - 1)
-            xi = np.minimum((np.arange(w) * other.shape[1]) // w,
-                            other.shape[1] - 1)
-            out = out * other[yi][:, xi]
+            out = out * self._resample_bilinear(imb["levels"][0], h, w)
+            scale = scale * imb["scale"]
         im = self.images[ta]
-        return self.add_image(out, wrap=im["wrap"], scale=im["scale"],
+        return self.add_image(out, wrap=im["wrap"], scale=scale,
                               uv_scale=im["uv_scale"],
                               uv_shift=im["uv_shift"])
+
+    def add_mix(self, t0: int, t1: int, l=None, l_tex: int = None) -> int:
+        """Mix texture: lerp(t0, t1, l) with `l` a constant in [0,1] or
+        a (grayscale) texture id (ref: texturing/textures/mod.rs:62-94
+        MixTexture — evaluate = t0*(1-l) + t1*l, all factors at the
+        same mapped uv; baked host-side at t0's resolution)."""
+        im0 = self.images[t0]
+        a = np.array(im0["levels"][0], np.float32)
+        h, w = a.shape[:2]
+        b = self._resample_bilinear(self.images[t1]["levels"][0], h, w)
+        if l_tex is not None:
+            lv = self._resample_bilinear(
+                self.images[l_tex]["levels"][0], h, w)
+            lv = lv.mean(-1, keepdims=True)   # Texture<Texel=Float>
+        else:
+            lv = np.float32(0.5 if l is None else l)
+        out = a * (1.0 - lv) + b * lv
+        return self.add_image(out, wrap=im0["wrap"], scale=im0["scale"],
+                              uv_scale=im0["uv_scale"],
+                              uv_shift=im0["uv_shift"])
 
     def build(self) -> Optional[TextureAtlas]:
         if not self.images:
@@ -340,3 +379,42 @@ def eval_gray(atlas: Optional[TextureAtlas], tex_id, uv, fallback,
     safe_id = jnp.maximum(tex_id, 0)
     tex = sample_texture(atlas, safe_id, uv, duvdx=duvdx, duvdy=duvdy)
     return jnp.where(tex_id >= 0, jnp.mean(tex, -1), fallback)
+
+
+# ---------------------------------------------------------------------------
+# image-texture importance distribution (ref: ImageTexture::distribution,
+# texturing/textures/image.rs:47-55) and 3D transformed mapping
+# (ref: texturing/mappings.rs:34-47)
+# ---------------------------------------------------------------------------
+
+def texture_distribution_2d(atlas: TextureAtlas, tex_id: int, f=None):
+    """Build a Distribution2D over a texture's level-0 texels, weighted
+    by f(rgb) (default: luminance) — the equivalent of the reference's
+    ``ImageTexture::distribution`` (image.rs:47-55).  Sampling from it
+    (sampling.distribution.sample_continuous_2d) yields uv with density
+    proportional to the texture, e.g. for importance-sampling textured
+    emitters."""
+    from arendur_tpu.sampling.distribution import build_distribution_2d
+    off = int(np.asarray(atlas.offset)[tex_id, 0])
+    w = int(np.asarray(atlas.width)[tex_id, 0])
+    h = int(np.asarray(atlas.height)[tex_id, 0])
+    tex = np.asarray(atlas.texels)[off:off + w * h].reshape(h, w, 3)
+    if f is None:
+        weights = (0.212671 * tex[..., 0] + 0.715160 * tex[..., 1]
+                   + 0.072169 * tex[..., 2])
+    else:
+        weights = np.apply_along_axis(f, -1, tex)
+    return build_distribution_2d(np.maximum(weights, 0.0))
+
+
+def transformed_mapping_3d(transform, pos, dpdx=None, dpdy=None):
+    """3D texture mapping through a 4x4 transform
+    (ref: texturing/mappings.rs:34-47 TransformedMapping): returns
+    (p, dpdx, dpdy) with the position transformed as a point and the
+    screen-space derivatives as vectors.  transform: [4,4] row-vector
+    convention (p' = p @ M[:3,:3] + M[3,:3])."""
+    m = jnp.asarray(transform, jnp.float32)
+    p = pos @ m[:3, :3] + m[3, :3]
+    tx = dpdx @ m[:3, :3] if dpdx is not None else None
+    ty = dpdy @ m[:3, :3] if dpdy is not None else None
+    return p, tx, ty

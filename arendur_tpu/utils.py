@@ -66,13 +66,15 @@ def save_checkpoint(path: str, film_state, next_ray: int, seed: int,
                     meta: Optional[dict] = None):
     """Persist film accumulators + progress cursor to an .npz."""
     import jax
+    meta = dict(meta or {})
+    meta["padded"] = bool(getattr(film_state, "padded", False))
     np.savez_compressed(
         path,
         rgb=np.asarray(jax.device_get(film_state.rgb)),
         weight=np.asarray(jax.device_get(film_state.weight)),
         next_ray=np.asarray(next_ray, np.int64),
         seed=np.asarray(seed, np.int64),
-        meta=json.dumps(meta or {}))
+        meta=json.dumps(meta))
 
 
 def load_checkpoint(path: str):
@@ -82,7 +84,8 @@ def load_checkpoint(path: str):
     if not os.path.exists(path):
         return None
     data = np.load(path, allow_pickle=False)
-    state = FilmState(rgb=jnp.asarray(data["rgb"]),
-                      weight=jnp.asarray(data["weight"]))
     meta = json.loads(str(data["meta"]))
+    state = FilmState(rgb=jnp.asarray(data["rgb"]),
+                      weight=jnp.asarray(data["weight"]),
+                      padded=bool(meta.get("padded", False)))
     return state, int(data["next_ray"]), int(data["seed"]), meta

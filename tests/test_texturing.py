@@ -220,3 +220,81 @@ class TestBump:
         # textured channel falls back to white constant
         kd = np.asarray(scene.materials.kd)[kd_tex >= 0]
         np.testing.assert_allclose(kd, 1.0, atol=1e-6)
+
+
+class TestTextureCombinators:
+    """MixTexture / bilinear Product resample / Distribution2D consumer
+    / 3D TransformedMapping (ref: texturing/textures/mod.rs:62-94,
+    image.rs:47-55, mappings.rs:34-47)."""
+
+    def test_mix_constant_alpha(self):
+        from arendur_tpu.texturing.texture import AtlasBuilder
+        b = AtlasBuilder()
+        t0 = b.add_image(np.full((4, 4, 3), 0.2, np.float32))
+        t1 = b.add_image(np.full((4, 4, 3), 0.8, np.float32))
+        tm = b.add_mix(t0, t1, l=0.25)
+        lv0 = b.images[tm]["levels"][0]
+        np.testing.assert_allclose(lv0, 0.2 * 0.75 + 0.8 * 0.25,
+                                   rtol=1e-6)
+
+    def test_mix_texture_alpha(self):
+        from arendur_tpu.texturing.texture import AtlasBuilder
+        b = AtlasBuilder()
+        t0 = b.add_image(np.zeros((2, 2, 3), np.float32))
+        t1 = b.add_image(np.ones((2, 2, 3), np.float32))
+        lt = b.add_image(np.array([[[0.0]*3, [1.0]*3],
+                                   [[0.25]*3, [0.75]*3]], np.float32))
+        tm = b.add_mix(t0, t1, l_tex=lt)
+        lv0 = b.images[tm]["levels"][0]
+        np.testing.assert_allclose(
+            lv0[..., 0], [[0.0, 1.0], [0.25, 0.75]], rtol=1e-6)
+
+    def test_product_bilinear_resample(self):
+        from arendur_tpu.texturing.texture import AtlasBuilder
+        b = AtlasBuilder()
+        ta = b.add_image(np.ones((4, 4, 3), np.float32), scale=2.0)
+        # 2x2 gradient upsampled to 4x4 must be smooth (bilinear), not
+        # blocky (the old nearest-neighbor path)
+        tb = b.add_image(np.array(
+            [[[0.0]*3, [1.0]*3], [[0.0]*3, [1.0]*3]], np.float32),
+            scale=3.0)
+        tp = b.add_product(ta, tb=tb)
+        lv0 = b.images[tp]["levels"][0]
+        row = lv0[0, :, 0]
+        assert row[1] != row[0] and row[2] != row[1], row
+        assert np.all(np.diff(row) > 0.0), row
+        # tb's scalar scale propagates into the product
+        assert b.images[tp]["scale"] == 6.0
+
+    def test_texture_distribution_2d(self):
+        from arendur_tpu.texturing.texture import (
+            AtlasBuilder, texture_distribution_2d)
+        from arendur_tpu.sampling.distribution import (
+            sample_continuous_2d)
+        b = AtlasBuilder()
+        img = np.zeros((2, 2, 3), np.float32)
+        img[0, 1] = 3.0    # three-quarters of the mass in one texel
+        img[1, 0] = 1.0
+        tid = b.add_image(img)
+        atlas = b.build()
+        dist = texture_distribution_2d(atlas, tid)
+        u = np.stack(np.meshgrid(np.linspace(0.01, 0.99, 40),
+                                 np.linspace(0.01, 0.99, 40)),
+                     -1).reshape(-1, 2)
+        xy, pdf = sample_continuous_2d(dist, jnp.asarray(u, jnp.float32))
+        xy = np.asarray(xy)
+        frac_hot = np.mean((xy[:, 0] > 0.5) & (xy[:, 1] < 0.5))
+        np.testing.assert_allclose(frac_hot, 0.75, atol=0.05)
+        assert np.all(np.asarray(pdf) > 0.0)
+
+    def test_transformed_mapping_3d(self):
+        from arendur_tpu.texturing.texture import transformed_mapping_3d
+        m = np.eye(4, dtype=np.float32)
+        m[3, :3] = (1.0, 2.0, 3.0)       # translation row
+        m[0, 0] = 2.0                    # x scale
+        pos = jnp.asarray([[1.0, 1.0, 1.0]])
+        dpdx = jnp.asarray([[1.0, 0.0, 0.0]])
+        p, tx, ty = transformed_mapping_3d(m, pos, dpdx, dpdx)
+        np.testing.assert_allclose(np.asarray(p)[0], [3.0, 3.0, 4.0])
+        # vectors ignore translation
+        np.testing.assert_allclose(np.asarray(tx)[0], [2.0, 0.0, 0.0])
