@@ -133,6 +133,20 @@ def erf_inv(x):
     return jnp.where(w < 5.0, p_lo, p_hi) * x
 
 
+def acos_pos(x):
+    """acos for x in [0, 1] (A&S 4.4.45 polynomial, max err ~7e-5 rad).
+
+    Mosaic has no acos lowering; sharing this approximation between
+    the XLA and Pallas shade paths keeps them bit-identical.  Only fed
+    into the Beckmann CDF fit polynomial, where 7e-5 rad is far below
+    the fit's own error."""
+    x = jnp.clip(x, 0.0, 1.0)
+    p = -0.0187293
+    for c in (0.0742610, -0.2121144, 1.5707288):
+        p = c + p * x
+    return p * jnp.sqrt(1.0 - x)
+
+
 def _sample_wh_beckmann(wo, u, ax, ay):
     """Visible-normal Beckmann sampling with Newton/bisection solve
     (ref: microfacet.rs:181-258), vectorized with masked updates."""
@@ -154,7 +168,7 @@ def _sample_wh_beckmann(wo, u, ax, ay):
     tan_t = sin_t / cos_ts
     cot_t = cos_ts / jnp.maximum(sin_t, 1e-12)
     uxs = jnp.maximum(ux, 1e-6)
-    theta = jnp.arccos(cos_ts)
+    theta = acos_pos(cos_ts)
     fit = 1.0 + theta * (-0.876 + theta * (0.4265 - 0.0594 * theta))
     sqrt_pi_inv = 1.0 / jnp.sqrt(PI)
     c0 = erf(cot_t)

@@ -24,7 +24,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from arendur_tpu.bxdf import slots as sl
 
-_RN = 2048
+# 256-lane ray tiles: a [2048]-wide block needs 16 native (8,128)
+# registers per vector op, exploding Mosaic's unrolled op count and
+# its compile time (>15 min); 256 matches pallas_intersect's tile.
+_RN = 256
 
 
 def use_pallas_shade() -> bool:
@@ -70,8 +73,10 @@ def _unpack(x, k):
     stype = take(k).astype(jnp.int32)
     kind = take(k).astype(jnp.int32)
     dist = take(k).astype(jnp.int32)
-    c0 = take(3 * k).reshape(n, k, 3)
-    c1 = take(3 * k).reshape(n, k, 3)
+    # colors stay 2-D [N,3K] (Mosaic has no 3-D reshape); slots.py's
+    # _col3 accepts the flattened layout
+    c0 = take(3 * k)
+    c1 = take(3 * k)
     p0 = take(k); p1 = take(k); p2 = take(k)
     wow = take(3); u = take(2)
     return (sl.BsdfSlots(ns=ns, ts=ts, bs=bs, ng=ng, eta=eta,

@@ -472,8 +472,17 @@ def _to_world(b: BsdfSlots, v):
     return frame.to_world(b.ts, b.bs, b.ns, v)
 
 
+def _col3(arr, k: int):
+    """Slot column of a color array in either layout: [N,K,3] (the
+    standard pytree layout) or [N,3K] flattened (the Pallas kernels
+    keep everything 2-D — Mosaic has no 3-D reshape)."""
+    if arr.ndim == 3:
+        return arr[:, k]
+    return arr[:, 3 * k:3 * (k + 1)]
+
+
 def _slot_col(b: BsdfSlots, k: int):
-    return (b.type[:, k], b.c0[:, k], b.c1[:, k], b.p0[:, k],
+    return (b.type[:, k], _col3(b.c0, k), _col3(b.c1, k), b.p0[:, k],
             b.p1[:, k], b.p2[:, k], b.dist[:, k])
 
 
@@ -497,8 +506,11 @@ def bsdf_evaluate(b: BsdfSlots, wow, wiw, types: int = ALL):
             continue
         stype, c0, c1, p0, p1, p2, dist = _slot_col(b, k)
         kindk = b.kind[:, k]
-        sel = ((kindk & types) != 0) & jnp.where(
-            is_refl, (kindk & REFLECTION) != 0, (kindk & TRANSMISSION) != 0)
+        # boolean algebra instead of where-on-bool: Mosaic cannot
+        # truncate 1-D i8 selects back to i1
+        sel = ((kindk & types) != 0) & (
+            (is_refl & ((kindk & REFLECTION) != 0))
+            | (~is_refl & ((kindk & TRANSMISSION) != 0)))
         fk = slot_eval(stype, c0, c1, p0, p1, p2, dist, wo, wi,
                        present=pres)
         f = f + jnp.where(sel[..., None], fk, 0.0)
@@ -543,9 +555,8 @@ def bsdf_eval_pdf(b: BsdfSlots, wow, wiw, types: int = ALL):
         stype, c0, c1, p0, p1, p2, dist = _slot_col(b, k)
         kindk = b.kind[:, k]
         m = (kindk & types) != 0
-        sel = m & jnp.where(
-            is_refl, (kindk & REFLECTION) != 0,
-            (kindk & TRANSMISSION) != 0)
+        sel = m & ((is_refl & ((kindk & REFLECTION) != 0))
+                   | (~is_refl & ((kindk & TRANSMISSION) != 0)))
         fk = slot_eval(stype, c0, c1, p0, p1, p2, dist, wo, wi,
                        present=pres)
         pk = slot_pdf(stype, p0, p1, p2, dist, wo, wi, present=pres)
@@ -588,9 +599,9 @@ def bsdf_sample(b: BsdfSlots, wow, u, types: int = ALL):
         return out
 
     def take3(arr):
-        out = arr[:, 0]
+        out = _col3(arr, 0)
         for k in range(1, b.nslots):
-            out = jnp.where((sel_k == k)[:, None], arr[:, k], out)
+            out = jnp.where((sel_k == k)[:, None], _col3(arr, k), out)
         return out
     stype = take(b.type)
     f, wi, pdf, skind = slot_sample(
@@ -622,8 +633,9 @@ def bsdf_sample(b: BsdfSlots, wow, u, types: int = ALL):
             continue
         stype_k, c0, c1, p0, p1, p2, dist = _slot_col(b, k)
         kindk = b.kind[:, k]
-        sel = ((kindk & skind) != 0) & jnp.where(
-            is_refl, (kindk & REFLECTION) != 0, (kindk & TRANSMISSION) != 0)
+        sel = ((kindk & skind) != 0) & (
+            (is_refl & ((kindk & REFLECTION) != 0))
+            | (~is_refl & ((kindk & TRANSMISSION) != 0)))
         fk = slot_eval(stype_k, c0, c1, p0, p1, p2, dist, wo, wi,
                        present=pres)
         pk = slot_pdf(stype_k, p0, p1, p2, dist, wo, wi, present=pres)

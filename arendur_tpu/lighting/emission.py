@@ -120,11 +120,14 @@ def generate_path(scene: sc.SceneData, lidx, u_pos, u_dir,
 
     # ---- distant ----------------------------------------------------------
     ldir = normalize(lights.pos[lidx])
-    wr = jnp.maximum(lights.params[lidx, 0], 1.0)
+    wr = jnp.maximum(lights.params[lidx, 0], 1e-6)
+    wc = lights.aux[lidx]   # world_center (scene bsphere, build())
     t_d, b_d = frame.get_basis_from(ldir)
     disk = warps.sample_concentric_disk(u_pos)
-    pos_d = ((disk[..., 0:1] * t_d + disk[..., 1:2] * b_d) * wr[..., None]
-             - ldir * (2.0 * wr)[..., None])
+    # ref: distantlight.rs:84-91 — disk of the world bsphere, pushed
+    # back one radius against the travel direction
+    pos_d = (wc + (disk[..., 0:1] * t_d + disk[..., 1:2] * b_d)
+             * wr[..., None] - ldir * wr[..., None])
     pdf_pos_d = 1.0 / (PI * wr * wr)
 
     # ---- combine ----------------------------------------------------------
@@ -198,7 +201,7 @@ def pdf_origin(scene: sc.SceneData, lidx):
                          scene.tri_v2[t_idx]), 1e-20)
     else:
         inv_a_t = jnp.zeros_like(inv_a_s)
-    wr = jnp.maximum(lights.params[lidx, 0], 1.0)
+    wr = jnp.maximum(lights.params[lidx, 0], 1e-6)
     inv_a_d = 1.0 / (PI * wr * wr)
     return jnp.where(
         lt == sc.L_AREA_SPHERE, inv_a_s,

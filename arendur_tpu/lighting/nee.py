@@ -187,8 +187,10 @@ def light_sample(scene: sc.SceneData, lidx, pos, u2):
 
     if has(sc.L_DISTANT):
         ldir = normalize(lpos)           # direction the light travels
+        # world_radius resolved from the scene bsphere at build()
+        # (ref: distantlight.rs:72-74 pfrom = pos - 2*world_radius*dir)
         wr = col1("params")
-        pfrom_d = pos - ldir * (2.0 * jnp.maximum(wr, 1.0))[..., None]
+        pfrom_d = pos - ldir * (2.0 * jnp.maximum(wr, 1e-6))[..., None]
         rad_d = jnp.broadcast_to(emission, (n, 3))
     else:
         pfrom_d, rad_d = zero3, zero3

@@ -396,10 +396,54 @@ class SceneBuilder:
             pos=tuple(pos), aux=tuple(direction),
             params=(cos_total, cos_falloff, 0.0, 0.0)))
 
-    def add_distant_light(self, direction, radiance, world_radius=100.0):
+    def add_distant_light(self, direction, radiance, world_radius=None):
+        """world_radius=None (default) resolves to the scene's bounding
+        sphere at build() time (ref: distantlight.rs:43-50
+        set_world_bounds from components.bbox_parent().bsphere());
+        passing a number pins it explicitly."""
         self.light_rows.append(dict(
             ltype=L_DISTANT, prim=-1, emission=tuple(radiance),
-            pos=tuple(direction), params=(world_radius, 0.0, 0.0, 0.0)))
+            pos=tuple(direction),
+            params=(-1.0 if world_radius is None else float(world_radius),
+                    0.0, 0.0, 0.0)))
+
+    def _world_bsphere(self):
+        """Scene bounding sphere over every world-space primitive
+        (the bbox_parent().bsphere() preprocess of
+        distantlight.rs:43-50): triangles, transformed spheres, and
+        instanced meshes (local bbox corners through each transform)."""
+        pts = []
+        for lst in (self.tv0, self.tv1, self.tv2):
+            for a in lst:
+                if len(a):
+                    pts.append(np.min(a, 0))
+                    pts.append(np.max(a, 0))
+        for row in self.sphere_rows:
+            m = np.asarray(row["o2w"], np.float32)
+            c = m[3, :3]
+            r = float(row["radius"]) * float(
+                np.linalg.norm(m[:3, :3], 2))
+            pts.append(c - r)
+            pts.append(c + r)
+        for rec in self.instanced:
+            a = rec["attr"]
+            v = np.concatenate([a[:, 0:3], a[:, 3:6], a[:, 6:9]], 0)
+            lo, hi = v.min(0), v.max(0)
+            corners = np.array([[x, y, z] for x in (lo[0], hi[0])
+                                for y in (lo[1], hi[1])
+                                for z in (lo[2], hi[2])], np.float32)
+            for t in rec["transforms"]:
+                m = np.asarray(t, np.float32)
+                w = corners @ m[:3, :3] + m[3, :3]
+                pts.append(w.min(0))
+                pts.append(w.max(0))
+        if not pts:
+            return np.zeros(3, np.float32), 1.0
+        lo = np.min(np.stack(pts), 0)
+        hi = np.max(np.stack(pts), 0)
+        center = 0.5 * (lo + hi)
+        radius = float(np.linalg.norm(hi - center))
+        return center.astype(np.float32), max(radius, 1e-6)
 
     # -- freeze -----------------------------------------------------------
 
@@ -451,6 +495,23 @@ class SceneBuilder:
         v2 = cat(self.tv2, (3,))
         tri_areas = 0.5 * np.linalg.norm(
             np.cross(v1 - v0, v2 - v0), axis=-1) if len(v0) else np.zeros(0)
+
+        # resolve distant-light world bounds from the scene's bounding
+        # sphere BEFORE the degenerate placeholder sphere is appended
+        # (ref: distantlight.rs:43-50 set_world_bounds via
+        # bbox_parent().bsphere()).  aux carries world_center.
+        if any(r["ltype"] == L_DISTANT for r in self.light_rows):
+            wc, wrad = self._world_bsphere()
+            resolved = []
+            for row in self.light_rows:
+                if row["ltype"] == L_DISTANT:
+                    row = dict(row)
+                    p = row.get("params", (-1.0, 0, 0, 0))
+                    wr = p[0] if p[0] > 0.0 else wrad
+                    row["params"] = (wr, 0.0, 0.0, 0.0)
+                    row["aux"] = tuple(float(x) for x in wc)
+                resolved.append(row)
+            self.light_rows = resolved
 
         # spheres
         ns = len(self.sphere_rows)

@@ -15,6 +15,9 @@ from arendur_tpu.render import integrator as integ
 from arendur_tpu.render import bpt
 
 
+pytestmark = pytest.mark.slow   # heavy renders: excluded from
+# the quick gate (pytest -m "not slow"); run the full suite before release
+
 def box_scene(emission=(8.0, 8.0, 8.0)):
     """Diffuse floor + small emissive triangle light above it."""
     b = sc.SceneBuilder()

@@ -20,6 +20,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+pytestmark = pytest.mark.slow   # heavy renders: excluded from
+# the quick gate (pytest -m "not slow"); run the full suite before release
+
 def test_two_process_film_psum(tmp_path):
     outs = [str(tmp_path / f"mh_{pid}.npy") for pid in range(2)]
     env = dict(os.environ)

@@ -26,6 +26,7 @@ import dataclasses
 import os
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -41,6 +42,7 @@ def _block_mean(a, f):
     return a.reshape(h // f, f, w // f, f, 3).mean((1, 3))
 
 
+@pytest.mark.slow
 def test_cornell_golden_parity():
     golden = np.load(os.path.join(
         REPO, "tests/data/cornell_golden_128x96.npy"))
@@ -60,3 +62,47 @@ def test_cornell_golden_parity():
     dmean = float(abs(img.mean() - g64.mean()))
     assert mse_ds4 < MSE_DS4_GATE, (mse_ds4, MSE_DS4_GATE)
     assert dmean < MEAN_GATE, (dmean, MEAN_GATE)
+
+
+@pytest.mark.slow
+def test_cornell_golden_parity_highres():
+    """High-res gate vs the 256x192 golden: render 128x96 / 32 spp and
+    compare 4x4 block means (golden block-averaged 2x to match).  The
+    finer blocks see structure the 64x48 gate averages away."""
+    golden = np.load(os.path.join(
+        REPO, "tests/data/cornell_golden_256x192.npy"))
+    g128 = _block_mean(golden, 2)         # 96x128x3
+
+    scene, camera, film_cfg, config, _ = scenedesc.parse_scene(
+        os.path.join(REPO, "examples/cornellbox/cb.json"),
+        spp_override=32, resolution_override=(128, 96))
+    config = dataclasses.replace(config, max_depth=8,
+                                 wave_size=1 << 16)
+    img = np.asarray(integ.render(scene, camera, film_cfg, config))
+    assert np.isfinite(img).all()
+    img = np.clip(img, 0.0, 1.0)
+
+    mse_ds4 = float(((_block_mean(img, 4) - _block_mean(g128, 4)) ** 2)
+                    .mean())
+    dmean = float(abs(img.mean() - g128.mean()))
+    assert mse_ds4 < MSE_DS4_GATE, (mse_ds4, MSE_DS4_GATE)
+    assert dmean < MEAN_GATE, (dmean, MEAN_GATE)
+
+
+def test_cornell_golden_smoke():
+    """Quick-gate parity smoke: a 32x24 / 8 spp render's mean
+    brightness stays within 0.04 of the reference golden's (MC noise
+    at 8 spp survives the full-image mean at ~1e-2)."""
+    golden = np.load(os.path.join(
+        REPO, "tests/data/cornell_golden_128x96.npy"))
+    scene, camera, film_cfg, config, _ = scenedesc.parse_scene(
+        os.path.join(REPO, "examples/cornellbox/cb.json"),
+        spp_override=8, resolution_override=(32, 24))
+    config = dataclasses.replace(config, max_depth=4,
+                                 wave_size=32 * 24 * 8)
+    img = np.asarray(integ.render(scene, camera, film_cfg, config))
+    assert np.isfinite(img).all()
+    img = np.clip(img, 0.0, 1.0)
+    # depth 4 vs the golden's depth 8 loses a little indirect energy;
+    # the gate bounds gross shading breakage, not estimator parity
+    assert abs(img.mean() - np.clip(golden, 0, 1).mean()) < 0.05

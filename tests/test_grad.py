@@ -34,6 +34,11 @@ from arendur_tpu.render import integrator as integ
 from arendur_tpu.geometry import transform as tf
 
 
+import pytest
+
+pytestmark = pytest.mark.slow   # heavy renders: excluded from
+# the quick gate (pytest -m "not slow"); run the full suite before release
+
 def _render_loss_fn(scene, camera, film_cfg, config):
     w, h = film_cfg.resolution
     total = w * h * config.spp

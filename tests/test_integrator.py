@@ -132,3 +132,57 @@ class TestCornellSmoke:
         assert img.max() > 0.05, "scene renders black"
         # light spheres (left wall area) should be bright
         assert img.max() > 1.0 or img.mean() > 0.01
+
+
+class TestDistantLightWorldBounds:
+    """World bounds resolve from the scene bounding sphere at build()
+    (ref: distantlight.rs:43-50 set_world_bounds via bbox.bsphere;
+    power = intensity * pi * world_radius^2, distantlight.rs:110-116)."""
+
+    def _floor_builder(self):
+        b = sc.SceneBuilder()
+        m = b.add_material(mtype=mats.M_MATTE, kd=(0.5, 0.5, 0.5))
+        v = np.array([[-3, -4, 0], [3, -4, 0], [3, 4, 0],
+                      [-3, 4, 0]], np.float32)
+        f = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+        b.add_mesh(v, f, m)
+        return b
+
+    def test_radius_and_center_from_scene(self):
+        b = self._floor_builder()
+        b.add_distant_light((0, 0, -1), (1.0, 1.0, 1.0))
+        scene = b.build()
+        i = int(np.argmax(np.asarray(scene.lights.ltype) == sc.L_DISTANT))
+        # bbox [-3,3]x[-4,4]x{0} -> center (0,0,0), radius |(3,4,0)| = 5
+        np.testing.assert_allclose(
+            float(scene.lights.params[i, 0]), 5.0, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(scene.lights.aux[i]), [0.0, 0.0, 0.0], atol=1e-6)
+
+    def test_power_formula(self):
+        """Selection distribution weight ratio == power ratio with
+        power = lum * pi * r^2."""
+        b = self._floor_builder()
+        b.add_distant_light((0, 0, -1), (2.0, 2.0, 2.0))
+        b.add_point_light((0, 0, 1), (1.0, 1.0, 1.0))
+        scene = b.build()
+        d = scene.light_distribution
+        # func holds the unnormalized powers
+        powers = np.asarray(d.func)
+        lum_d = 2.0  # grey spectrum luminance == value
+        lum_p = 1.0
+        expected_ratio = (lum_d * np.pi * 25.0) / (lum_p * 4.0 * np.pi)
+        lt = np.asarray(scene.lights.ltype)
+        pi_d = int(np.argmax(lt == sc.L_DISTANT))
+        pi_p = int(np.argmax(lt == sc.L_POINT))
+        np.testing.assert_allclose(powers[pi_d] / powers[pi_p],
+                                   expected_ratio, rtol=1e-5)
+
+    def test_explicit_radius_honored(self):
+        b = self._floor_builder()
+        b.add_distant_light((0, 0, -1), (1.0, 1.0, 1.0),
+                            world_radius=42.0)
+        scene = b.build()
+        i = int(np.argmax(np.asarray(scene.lights.ltype) == sc.L_DISTANT))
+        np.testing.assert_allclose(
+            float(scene.lights.params[i, 0]), 42.0, rtol=1e-6)
