@@ -188,28 +188,6 @@ def _slab_test(bmin, bmax, o, inv_d, tmax):
     return (tn <= tf) & (tf > 0.0) & (tn < tmax)
 
 
-def _tri_test_lanewise(o, d, tmax, v0, v1, v2):
-    """Watertight-style per-lane test: ray i vs triangle i (all [N,3]).
-    Moller-Trumbore with conservative epsilon; returns (hit, t, b0, b1)."""
-    from arendur_tpu.geometry.vec import cross, dot
-    e1 = v1 - v0
-    e2 = v2 - v0
-    pvec = cross(d, e2)
-    det = dot(e1, pvec)
-    ok = jnp.abs(det) > 1e-12
-    inv = 1.0 / jnp.where(ok, det, 1.0)
-    tvec = o - v0
-    b1 = dot(tvec, pvec) * inv
-    qvec = cross(tvec, e1)
-    b2 = dot(d, qvec) * inv
-    t = dot(e2, qvec) * inv
-    eps = 1e-7 * jnp.maximum(1.0, jnp.abs(t))
-    hit = (ok & (b1 >= -1e-7) & (b2 >= -1e-7) & (b1 + b2 <= 1.0 + 1e-7)
-           & (t > eps) & (t < tmax))
-    b0 = 1.0 - b1 - b2
-    return hit, t, b0, b1
-
-
 def intersect_bvh(bvh: BVH, v0, v1, v2, o, d, tmax, max_leaf: int = 4):
     """Closest hit via per-ray stack traversal.
 
@@ -218,11 +196,15 @@ def intersect_bvh(bvh: BVH, v0, v1, v2, o, d, tmax, max_leaf: int = 4):
     intersect_scene_tris.
     """
     from arendur_tpu.geometry.vec import as_jax
+    from arendur_tpu.shapes import triangle as tri
     bvh = as_jax(bvh)
     v0, v1, v2 = jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
     n = o.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
                             jnp.where(d < 0, -1e-20, 1e-20), d)
+    # the leaf test shares the oracle's exact watertight shear test
+    # (triangle._watertight_core) so accepts are identical (SURVEY M2)
+    perm, shear = tri.ray_shear(d)
 
     v0o = v0[bvh.order]
     v1o = v1[bvh.order]
@@ -265,8 +247,8 @@ def intersect_bvh(bvh: BVH, v0, v1, v2, o, d, tmax, max_leaf: int = 4):
         for k in range(max_leaf):
             pid = jnp.clip(start + k, 0, v0o.shape[0] - 1)
             take = box_hit & is_leaf & (k < count)
-            hit, t, b0, b1 = _tri_test_lanewise(
-                o, d, best_t, v0o[pid], v1o[pid], v2o[pid])
+            hit, t, b0, b1 = tri.intersect_watertight_lanewise(
+                o, d, best_t, perm, shear, v0o[pid], v1o[pid], v2o[pid])
             upd = take & hit & (t < best_t)
             best_t = jnp.where(upd, t, best_t)
             best_i = jnp.where(upd, bvh.order[pid], best_i)

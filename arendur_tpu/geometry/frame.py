@@ -64,6 +64,39 @@ def sin2_phi(w):
     return s * s
 
 
+def acos_poly(x):
+    """Polynomial acos over [-1,1] (A&S 4.4.45, max err ~7e-5 rad).
+    Shared by the XLA and Pallas shade paths — Mosaic has no acos
+    lowering, and sharing one approximation keeps them bit-identical."""
+    xa = jnp.clip(jnp.abs(x), 0.0, 1.0)
+    p = -0.0187293
+    for c in (0.0742610, -0.2121144, 1.5707288):
+        p = c + p * xa
+    v = p * jnp.sqrt(1.0 - xa)
+    return jnp.where(x >= 0.0, v, float(jnp.pi) - v)
+
+
+def atan2_poly(y, x):
+    """Polynomial atan2 (A&S 4.4.49 degree-9 odd minimax on [0,1];
+    max err ~1e-5 rad).  Shared by the XLA and Pallas sphere paths —
+    Mosaic has no atan2 lowering, and one shared approximation keeps
+    the phi-clip/uv decisions bit-identical across paths."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    z = lo / jnp.where(hi < 1e-30, 1e-30, hi)
+    z2 = z * z
+    p = 0.0208351
+    for c in (-0.0851330, 0.1801410, -0.3302995, 0.9998660):
+        p = c + p * z2
+    a = p * z
+    half_pi = 0.5 * float(jnp.pi)
+    a = jnp.where(ay > ax, half_pi - a, a)
+    a = jnp.where(x < 0.0, float(jnp.pi) - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
 def reflect(wo, n):
     """Mirror wo about n (ref: foundamental.rs:277)."""
     return -wo + 2.0 * dot(wo, n, keepdims=True) * n
@@ -88,12 +121,15 @@ def refract(wo, n, eta):
 
 def get_basis_from(dir):
     """Return (u, v) completing `dir` to an orthonormal basis
-    (ref: foundamental.rs:299-309: up=z unless dir≈z, then up=y)."""
+    (ref: foundamental.rs:299-309: up=z unless dir≈z, then up=y).
+    The up vector is built by stacking per-lane scalars instead of
+    broadcasting a (3,) constant — Mosaic cannot capture 1-D array
+    constants inside Pallas kernels."""
     near_z = jnp.abs(jnp.abs(dir[..., 2]) - 1.0) < 1e-5
-    up = jnp.where(
-        near_z[..., None],
-        jnp.asarray([0.0, 1.0, 0.0], dir.dtype),
-        jnp.asarray([0.0, 0.0, 1.0], dir.dtype))
+    zero = jnp.zeros_like(dir[..., 0])
+    up = jnp.stack([zero,
+                    jnp.where(near_z, 1.0, 0.0),
+                    jnp.where(near_z, 0.0, 1.0)], axis=-1)
     u = normalize(cross(up, dir))
     v = normalize(cross(dir, u))
     return u, v

@@ -68,12 +68,35 @@ def _sample_sphere_local_row(radius, zmin, zmax, thetamin, thetamax,
         z = jnp.cos(theta)
     else:
         z = zmin / radius + u2[..., 1] * (zmax - zmin) / radius
-        theta = jnp.arccos(jnp.clip(z, -1.0 + 1e-7, 1.0 - 1e-7))
+        theta = frame.acos_poly(jnp.clip(z, -1.0 + 1e-7, 1.0 - 1e-7))
     st = jnp.sin(theta)
     nrm = vec3(st * jnp.cos(phi), st * jnp.sin(phi), jnp.cos(theta))
     p = nrm * radius[..., None]
     area = phimax * radius * (zmax - zmin)
     return p, nrm, 1.0 / area
+
+
+def _tp16(m, p):
+    """Row-vector point transform by per-lane [N,16] matrices (cgmath
+    row-layout, see geometry.transform), homogeneous divide included.
+    Column math instead of [N,4,4] vmaps: shared with the Pallas bounce
+    kernel, where 3-D arrays don't lower."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    ox = x * m[:, 0] + y * m[:, 4] + z * m[:, 8] + m[:, 12]
+    oy = x * m[:, 1] + y * m[:, 5] + z * m[:, 9] + m[:, 13]
+    oz = x * m[:, 2] + y * m[:, 6] + z * m[:, 10] + m[:, 14]
+    w = x * m[:, 3] + y * m[:, 7] + z * m[:, 11] + m[:, 15]
+    inv = 1.0 / jnp.where(jnp.abs(w) < 1e-20, 1.0, w)
+    return jnp.stack([ox * inv, oy * inv, oz * inv], -1)
+
+
+def _tv16(m, v):
+    """Direction transform (no translation, no divide)."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack([
+        x * m[:, 0] + y * m[:, 4] + z * m[:, 8],
+        x * m[:, 1] + y * m[:, 5] + z * m[:, 9],
+        x * m[:, 2] + y * m[:, 6] + z * m[:, 10]], -1)
 
 
 def light_sample(scene: sc.SceneData, lidx, pos, u2):
@@ -87,6 +110,17 @@ def light_sample(scene: sc.SceneData, lidx, pos, u2):
     scene = as_jax(scene)
     pack, cidx, present = sc.light_pack(scene)
     lp = pack[jnp.maximum(lidx, 0)]
+    return light_sample_rows(lp, cidx, present, pos, u2)
+
+
+def light_sample_rows(lp, cidx, present, pos, u2, need_uv: bool = True,
+                      full_phi_spheres: bool = False):
+    """light_sample over pre-gathered packed rows lp [N,C] — shared
+    verbatim by the XLA path and the Pallas bounce mega-kernel.
+
+    need_uv=False statically skips the sphere-uv computation (its
+    atan2/acos have no Mosaic lowering); only valid when no area light
+    carries an emission-profile texture."""
     col = lambda name: lp[:, cidx[name][0]:cidx[name][1]]
     col1 = lambda name: lp[:, cidx[name][0]]
     has = lambda t: present is None or t in present
@@ -100,9 +134,9 @@ def light_sample(scene: sc.SceneData, lidx, pos, u2):
 
     # ---- area sphere (in the sphere's local frame) ---------------------
     if has(sc.L_AREA_SPHERE):
-        w2o = col("s_w2o").reshape(-1, 4, 4)
-        o2w = col("s_o2w").reshape(-1, 4, 4)
-        pos_local = jax.vmap(tf.transform_point)(w2o, pos)
+        w2o = col("s_w2o")
+        o2w = col("s_o2w")
+        pos_local = _tp16(w2o, pos)
         lp_l, ln_l, pdf_area_s = _sample_sphere_local_row(
             col1("s_radius"), col1("s_zmin"), col1("s_zmax"),
             col1("s_thetamin"), col1("s_thetamax"), col1("s_phimax"),
@@ -122,12 +156,15 @@ def light_sample(scene: sc.SceneData, lidx, pos, u2):
                           pdf_s)
         # front-facing emission only (ref: component/shape.rs:115-128)
         front_s = dot(pos_local - lp_l, ln_l) > 0.0
-        pfrom_s = jax.vmap(tf.transform_point)(o2w, lp_l)
+        pfrom_s = _tp16(o2w, lp_l)
         rad_s = jnp.where(front_s[..., None], emission, 0.0)
-        uv_s, _, _ = sph._local_duv(
-            lp_l, col1("s_radius"), col1("s_thetamin"),
-            col1("s_thetamax"), col1("s_phimax"))
-        n_s_world = normalize(jax.vmap(tf.transform_vector)(o2w, ln_l))
+        if need_uv:
+            uv_s, _, _ = sph._local_duv(
+                lp_l, col1("s_radius"), col1("s_thetamin"),
+                col1("s_thetamax"), col1("s_phimax"))
+        else:
+            uv_s = jnp.zeros(pos.shape[:-1] + (2,), jnp.float32)
+        n_s_world = normalize(_tv16(o2w, ln_l))
     else:
         pfrom_s, rad_s, pdf_s, uv_s = zero3, zero3, zero1, zero_uv
         n_s_world = zero3
@@ -238,6 +275,16 @@ def light_pdf_wi(scene: sc.SceneData, lidx, pos, wi):
     scene = as_jax(scene)
     pack, cidx, present = sc.light_pack(scene)
     lp = pack[jnp.maximum(lidx, 0)]
+    return light_pdf_wi_rows(lp, cidx, present, pos, wi)
+
+
+def light_pdf_wi_rows(lp, cidx, present, pos, wi,
+                      full_phi_spheres: bool = False):
+    """light_pdf_wi over pre-gathered packed rows — shared by the XLA
+    path and the Pallas bounce kernel.  full_phi_spheres=True
+    statically skips the sphere phi-clip (atan2 has no Mosaic
+    lowering); only valid when every sphere light is a full-phi
+    sphere (host-checked)."""
     col = lambda name: lp[:, cidx[name][0]:cidx[name][1]]
     col1 = lambda name: lp[:, cidx[name][0]]
     has = lambda t: present is None or t in present
@@ -246,13 +293,14 @@ def light_pdf_wi(scene: sc.SceneData, lidx, pos, wi):
 
     # sphere area light: intersect that sphere in local frame
     if has(sc.L_AREA_SPHERE):
-        w2o = col("s_w2o").reshape(-1, 4, 4)
-        pos_l = jax.vmap(tf.transform_point)(w2o, pos)
-        wi_l = jax.vmap(tf.transform_vector)(w2o, wi)
+        w2o = col("s_w2o")
+        pos_l = _tp16(w2o, pos)
+        wi_l = _tv16(w2o, wi)
         radius = col1("s_radius")
         hit_s, t_s, p_l = sph._intersect_local(
             pos_l, wi_l, jnp.full((n,), jnp.inf, jnp.float32),
-            radius, col1("s_zmin"), col1("s_zmax"), col1("s_phimax"))
+            radius, col1("s_zmin"), col1("s_zmax"), col1("s_phimax"),
+            skip_phi_clip=full_phi_spheres)
         # normal at hit = p/r (geometric, local); area in local frame
         n_l = p_l * jax.lax.rsqrt(
             jnp.maximum(length2(p_l), 1e-20))[..., None]
@@ -299,25 +347,17 @@ def _occlusion_query(scene, hit: sc.Hit, pfrom, n_alive=None):
                        n_alive=n_alive)
 
 
-def light_branch(scene: sc.SceneData, hit: sc.Hit, bsdf: sl.BsdfSlots,
-                 wo, lidx, ulight, n_alive=None, textures=None):
-    """Light-sampling branch of evaluate_direct
-    (ref: scene.rs:92-126).  Returns radiance [N,3] (caller divides by
-    the light-selection pdf)."""
-    from arendur_tpu.geometry.vec import as_jax
-    scene = as_jax(scene)
-    ls = light_sample(scene, lidx, hit.pos, ulight)
-    if textures is not None:
-        ls["radiance"] = ls["radiance"] * sc.emission_tex_factor(
-            scene.lights, lidx, ls["uv"], textures)
+def direct_light_contrib(ls, f_raw, spdf, ns):
+    """The light-branch contribution assuming UNOCCLUDED (the caller
+    masks by the shadow query; ref scene.rs:92-126).  Shared verbatim
+    by the XLA path and the Pallas bounce kernel.
+
+    Returns (contrib [N,3], need_shadow [N])."""
     wi = ls["wi"]
     no_effect = (ls["pdf"] == 0.0) | spec.is_black(ls["radiance"])
-    f_raw, spdf = sl.bsdf_eval_pdf(bsdf, wo, wi, ALL)
-    f = f_raw * jnp.abs(dot(wi, bsdf.ns))[..., None]
+    f = f_raw * jnp.abs(dot(wi, ns))[..., None]
     f = jnp.where((spdf == 0.0)[..., None], 0.0, f)
     need_shadow = ~no_effect & ~spec.is_black(f)
-    blocked = _occlusion_query(scene, hit, ls["pfrom"], n_alive=n_alive)
-    f = jnp.where(blocked[..., None], 0.0, f)
     # pre-masked reciprocal: a tiny light pdf overflows the division on
     # lanes later masked out; backward of the masked product would
     # emit 0 * inf = NaN (see integrator bounce_step note)
@@ -330,7 +370,26 @@ def light_branch(scene: sc.SceneData, hit: sc.Hit, bsdf: sl.BsdfSlots,
                         contrib_area)
     contrib = jnp.where((need_shadow & ~no_effect)[..., None], contrib,
                         0.0)
-    return spec.sanitize(contrib)
+    return spec.sanitize(contrib), need_shadow
+
+
+def light_branch(scene: sc.SceneData, hit: sc.Hit, bsdf: sl.BsdfSlots,
+                 wo, lidx, ulight, n_alive=None, textures=None):
+    """Light-sampling branch of evaluate_direct
+    (ref: scene.rs:92-126).  Returns radiance [N,3] (caller divides by
+    the light-selection pdf)."""
+    from arendur_tpu.geometry.vec import as_jax
+    scene = as_jax(scene)
+    ls = light_sample(scene, lidx, hit.pos, ulight)
+    if textures is not None:
+        ls["radiance"] = ls["radiance"] * sc.emission_tex_factor(
+            scene.lights, lidx, ls["uv"], textures)
+    from arendur_tpu.bxdf import pallas_shade as psh
+    f_raw, spdf = psh.dispatch_eval_pdf(bsdf, wo, ls["wi"], ALL)
+    contrib, need_shadow = direct_light_contrib(ls, f_raw, spdf,
+                                                bsdf.ns)
+    blocked = _occlusion_query(scene, hit, ls["pfrom"], n_alive=n_alive)
+    return jnp.where(blocked[..., None], 0.0, contrib)
 
 
 def path_mis_weight(scene: sc.SceneData, lidx, selpdf, pos, wi2, pdf2,
@@ -352,9 +411,28 @@ def path_mis_weight(scene: sc.SceneData, lidx, selpdf, pos, wi2, pdf2,
     non-specular samples with zero light pdf return 0
     (scene.rs:141-142); specular samples use w2 = 1.
     """
+    from arendur_tpu.geometry.vec import as_jax
+    scene = as_jax(scene)
+    pack, cidx, present = sc.light_pack(scene)
+    lp = pack[jnp.maximum(lidx, 0)]
+    return path_mis_weight_rows(lp, cidx, present, selpdf, pos, wi2,
+                                pdf2, kind2, f2)
+
+
+def path_mis_weight_rows(lp, cidx, present, selpdf, pos, wi2, pdf2,
+                         kind2, f2, full_phi_spheres: bool = False):
+    """path_mis_weight over pre-gathered packed light rows — shared by
+    the XLA path and the Pallas bounce kernel."""
+    col1 = lambda name: lp[:, cidx[name][0]]
+    lt = col1("ltype").astype(jnp.int32)
     is_spec = (kind2 & SPECULAR) != 0
-    lpdf = light_pdf_wi(scene, lidx, pos, wi2)
-    delta = is_delta_light(scene, lidx)
+    lpdf = light_pdf_wi_rows(lp, cidx, present, pos, wi2,
+                             full_phi_spheres=full_phi_spheres)
+    if present is not None and not (
+            sc.L_POINT in present or sc.L_SPOT in present):
+        delta = jnp.zeros(lt.shape, bool)
+    else:
+        delta = (lt == sc.L_POINT) | (lt == sc.L_SPOT)
     active = (~delta & ~spec.is_black(f2) & (pdf2 > 0.0)
               & (is_spec | (lpdf > 0.0)))
     w2 = jnp.where(is_spec, 1.0,

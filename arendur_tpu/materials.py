@@ -171,19 +171,16 @@ def slot_presence(table: MaterialTable):
     return tuple(tuple(sorted(c)) for c in cols)
 
 
-def compute_scattering(table: MaterialTable, mat_id, ns, ng, dpdu,
-                       uv=None, textures=None, dpdv=None,
-                       duvdx=None, duvdy=None,
-                       tex_filter: str = "trilinear") -> BsdfSlots:
-    """Build the BSDF slot table for N hits.
-
-    mat_id [N] int32; ns/ng/dpdu [N,3] world-space shading data.
-    With `textures` (texturing milestone), kd/ks/sigma are overridden
-    by image-texture lookups at `uv` where *_tex >= 0; duvdx/duvdy
-    [N,2] drive mipmap LOD (trilinear) or EWA anisotropic filtering.
-    """
+def resolve_params(table: MaterialTable, mat_id, ns, ng, dpdu,
+                   uv=None, textures=None, dpdv=None,
+                   duvdx=None, duvdy=None,
+                   tex_filter: str = "trilinear"):
+    """Gather + texture-resolve the hit's material parameters (the
+    pre-recipe half of compute_scattering; the Pallas bounce kernel
+    takes these resolved columns as inputs and runs build_slots
+    in-kernel).  Returns (mtype, kd, ks, sigma, roughness, eta,
+    dissolve, ns', dpdu') — ns/dpdu possibly bump-mapped."""
     from arendur_tpu.geometry.vec import as_jax
-    presence = slot_presence(table)
     table = as_jax(table)
     n = mat_id.shape[0]
     # one packed [M,15] row gather instead of 11 per-column gathers:
@@ -234,11 +231,45 @@ def compute_scattering(table: MaterialTable, mat_id, ns, ng, dpdu,
                 textures, row[:, 14].astype(jnp.int32), uv, ns, ng, dpdu,
                 dpdv, duvdx=duvdx, duvdy=duvdy)
 
+    return mtype, kd, ks, sigma, roughness, eta, dissolve, ns, dpdu
+
+
+def compute_scattering(table: MaterialTable, mat_id, ns, ng, dpdu,
+                       uv=None, textures=None, dpdv=None,
+                       duvdx=None, duvdy=None,
+                       tex_filter: str = "trilinear") -> BsdfSlots:
+    """Build the BSDF slot table for N hits.
+
+    mat_id [N] int32; ns/ng/dpdu [N,3] world-space shading data.
+    With `textures` (texturing milestone), kd/ks/sigma are overridden
+    by image-texture lookups at `uv` where *_tex >= 0; duvdx/duvdy
+    [N,2] drive mipmap LOD (trilinear) or EWA anisotropic filtering.
+    """
+    presence = slot_presence(table)
+    (mtype, kd, ks, sigma, roughness, eta, dissolve, ns, dpdu) = \
+        resolve_params(table, mat_id, ns, ng, dpdu, uv=uv,
+                       textures=textures, dpdv=dpdv, duvdx=duvdx,
+                       duvdy=duvdy, tex_filter=tex_filter)
+    return build_slots(mtype, kd, ks, sigma, roughness, eta, dissolve,
+                       ns, ng, dpdu, presence)
+
+
+def build_slots(mtype, kd, ks, sigma, roughness, eta, dissolve,
+                ns, ng, dpdu, presence=None,
+                flat_colors: bool = False) -> BsdfSlots:
+    """The material recipe: resolved per-lane parameters -> BSDF slot
+    table (the post-texture half of compute_scattering).  Pure
+    elementwise jnp, shared verbatim by the XLA path and the Pallas
+    bounce mega-kernel (flat_colors=True keeps colors [N,3K] 2-D —
+    Mosaic has no 3-D reshape)."""
+    n = mtype.shape[0]
     alpha = mf.roughness_to_alpha(roughness)
     sigma_c = jnp.clip(sigma, 0.0, 90.0)
 
-    kd_black = jnp.all(kd == 0.0, axis=-1)
-    ks_black = jnp.all(ks == 0.0, axis=-1)
+    kd_black = (kd[..., 0] == 0.0) & (kd[..., 1] == 0.0) \
+        & (kd[..., 2] == 0.0)
+    ks_black = (ks[..., 0] == 0.0) & (ks[..., 1] == 0.0) \
+        & (ks[..., 2] == 0.0)
 
     ktype = [jnp.zeros((n,), jnp.int32) for _ in range(MAX_SLOTS)]
     kc0 = [jnp.zeros((n, 3), jnp.float32) for _ in range(MAX_SLOTS)]
@@ -315,16 +346,25 @@ def compute_scattering(table: MaterialTable, mat_id, ns, ng, dpdu,
         c0=kd * (1.0 - dissolve[..., None]))
 
     stype = jnp.stack(ktype, axis=1)
-    kind_lut = jnp.asarray(
-        [KIND_OF_TYPE[t] for t in range(len(KIND_OF_TYPE))], jnp.int32)
-    kind = kind_lut[stype]
+    # kind from type via a where-chain instead of a LUT gather (gathers
+    # don't lower in Mosaic and cost an HBM round trip in XLA)
+    kind = jnp.zeros_like(stype)
+    for t in range(1, len(KIND_OF_TYPE)):
+        if KIND_OF_TYPE[t]:
+            kind = jnp.where(stype == t, KIND_OF_TYPE[t], kind)
 
     ts, bs = make_bsdf_frame(ns, ng, dpdu)
     bsdf_eta = jnp.where(glass, eta, 1.0)
+    if flat_colors:
+        c0 = jnp.concatenate(kc0, 1)
+        c1 = jnp.concatenate(kc1, 1)
+    else:
+        c0 = jnp.stack(kc0, 1)
+        c1 = jnp.stack(kc1, 1)
     return BsdfSlots(
         ns=ns, ts=ts, bs=bs, ng=ng, eta=bsdf_eta,
         type=stype, kind=kind,
-        c0=jnp.stack(kc0, 1), c1=jnp.stack(kc1, 1),
+        c0=c0, c1=c1,
         p0=jnp.stack(kp0, 1), p1=jnp.stack(kp1, 1),
         p2=jnp.stack(kp2, 1),
         dist=jnp.stack(kdist, 1),

@@ -52,6 +52,13 @@ class RenderConfig:
                                   # HLO, potentially more fusion);
                                   # False: lax.scan over bounces
                                   # (compiles one bounce body)
+    compact: bool = True          # dead-lane compaction per bounce
+                                  # (lets the cluster kernel skip whole
+                                  # ray tiles; costs ~12 fixed-cost ops
+                                  # — ablatable, DESIGN.md §9.4)
+    defer_final_mis: bool = True  # the extra closest-hit after the
+                                  # loop that completes the deferred
+                                  # MIS bsdf branch at the last vertex
 
     @property
     def min_depth(self):
@@ -118,6 +125,33 @@ def _compact_perm(alive):
     return perm, n_alive
 
 
+def _mega_eligible(scene: sc.SceneData, config: RenderConfig):
+    """Host-static eligibility of the fused bounce-shade kernel
+    (render/pallas_bounce.py).  Returns (ok, full_phi_spheres)."""
+    import numpy as np
+    from arendur_tpu.bxdf import pallas_shade as psh
+    if not psh.use_pallas_shade() or config.textures is not None:
+        return False, False
+    try:
+        letex = np.asarray(scene.lights.emission_tex) \
+            if scene.lights.emission_tex is not None else None
+        if letex is not None and (letex >= 0).any():
+            return False, False
+        # the phi clip uses the shared polynomial atan2 (Mosaic-safe);
+        # full-phi sphere lights just skip it statically
+        lt = np.asarray(scene.lights.ltype)
+        prim = np.asarray(scene.lights.prim)
+        phimax = np.asarray(scene.spheres.phimax)
+        sl_rows = lt == sc.L_AREA_SPHERE
+        full_phi = True
+        if sl_rows.any():
+            p = np.clip(prim[sl_rows], 0, len(phimax) - 1)
+            full_phi = bool((phimax[p] >= 2.0 * np.pi - 1e-5).all())
+        return True, full_phi
+    except Exception:           # traced leaves: cannot decide -> no
+        return False, False
+
+
 def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
                config: RenderConfig, pixel_xy, pixel_id, sample_id,
                base_key, return_aux: bool = False):
@@ -130,6 +164,18 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
     analogue of the reference's per-sample warn, pt.rs:152-156).
     """
     from arendur_tpu.geometry.vec import as_jax
+    # host-static checks BEFORE as_jax: inside a trace, converted
+    # leaves become tracers and np.asarray on them throws
+    use_mega, mega_full_phi = _mega_eligible(scene, config)
+    if use_mega:
+        from arendur_tpu import materials as _mats
+        mega_presence = _mats.slot_presence(scene.materials)
+        # bake the packed light table + its column map HERE, from the
+        # NumPy scene: inside the trace light_pack cannot host-check
+        # the light types (tracer leaves) and would emit a DIFFERENT
+        # column layout than the one compiled into the kernel
+        mega_pk, _cidx, mega_lpresent = sc.light_pack(scene)
+        mega_lcidx = tuple(sorted(_cidx.items()))
     scene = as_jax(scene)
     ws = smp.WaveSampler(base_key, pixel_id, sample_id,
                          kind=config.sampler,
@@ -187,8 +233,11 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         third full scene query per bounce (scene.rs:146-155)."""
         # compact dead lanes to the back so the cluster kernel skips
         # their ray tiles entirely (identity at bounce 0)
-        perm, n_alive = _compact_perm(carry["alive"])
-        carry = _permute_carry(carry, perm)
+        if config.compact:
+            perm, n_alive = _compact_perm(carry["alive"])
+            carry = _permute_carry(carry, perm)
+        else:
+            n_alive = None
         (o, d, L, beta, alive, specular, cone_w, sel_prev, wb_prev,
          nee_prev, st) = (carry["o"], carry["d"], carry["L"],
                           carry["beta"], carry["alive"],
@@ -201,6 +250,58 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         # pt.rs:129-157); they label the HLO ops for jax.profiler
         with jax.named_scope("pt_intersect"):
             hit = sc.intersect(scene, o, d, n_alive=n_alive)
+
+        if use_mega:
+            # fused bounce shade: steps (2)-(5) in ONE Pallas launch
+            # (render/pallas_bounce.py); only the shadow any-hit query
+            # and one masked add remain outside
+            from arendur_tpu.render import pallas_bounce as pb
+            (mtype, kd, ks, sigma, rough, eta_m, dis, ns2, dpdu2) = \
+                mats.resolve_params(scene.materials, hit.mat_id,
+                                    hit.ns, hit.ng, hit.dpdu)
+            le = sc.light_emission(scene.lights, hit.light_id, hit.uv,
+                                   None)
+            dim0_ = smp.BOUNCE_DIM_BASE + bounce * smp.DIMS_PER_BOUNCE
+            u_sel = draw1(st, dim0_ + smp.DIM_LIGHT_SELECT)
+            u_light = draw2(st, dim0_ + smp.DIM_LIGHT_U)
+            u_bsdf = draw2(st, dim0_ + smp.DIM_BSDF_U)
+            u_rr = draw1(st, dim0_ + smp.DIM_RR)
+            lidx, selpdf = nee.sample_one_light(scene, u_sel)
+            lrow = mega_pk[jnp.maximum(lidx, 0)]
+            zb = o[:, 0] * 0.0
+            f1 = lambda a: a.astype(jnp.float32)[:, None]
+            b1 = lambda m: jnp.where(m, 1.0, 0.0)[:, None]
+            bounce_f = (bounce.astype(jnp.float32)
+                        if hasattr(bounce, "astype") else float(bounce))
+            x = jnp.concatenate([
+                hit.pos, hit.pos_err, hit.ng, ns2, dpdu2,
+                b1(hit.hit), f1(hit.light_id), le,
+                f1(mtype), kd, ks, sigma[:, None],
+                rough[:, None], eta_m[:, None], dis[:, None],
+                d, beta, L, b1(specular), f1(sel_prev),
+                wb_prev[:, None], b1(nee_prev), b1(alive),
+                f1(lidx), selpdf[:, None], u_light, u_bsdf,
+                u_rr[:, None], (zb + bounce_f)[:, None],
+                lrow,
+            ], axis=1)
+            with jax.named_scope("pt_shade_mega"):
+                out = pb.bounce_shade(
+                    x, mega_presence, mega_lcidx, mega_lpresent,
+                    config.min_depth, float(config.rr_threshold),
+                    mega_full_phi, pb.default_interpret())
+            r = pb.unpack_out(out)
+            with jax.named_scope("pt_light_calculation"):
+                blocked = sc.occluded(scene, r["sh_o"], r["sh_d"],
+                                      r["sh_t"], n_alive=n_alive)
+            L_out = r["L"] + jnp.where(
+                (r["need_shadow"] & ~blocked)[..., None],
+                r["contrib"], 0.0)
+            return dict(o=r["o"], d=r["d"], L=L_out, beta=r["beta"],
+                        alive=r["alive"], specular=r["specular"],
+                        cone_w=cone_w, sel_prev=r["sel_prev"],
+                        wb_prev=r["wb_prev"], nee_prev=r["nee_prev"],
+                        st=st)
+
         lane_active = alive & hit.hit
 
         # (2) emitted radiance (ref: pt.rs:72-78; le() via the
@@ -251,7 +352,10 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         # (4) bsdf sample for path continuation (ref: pt.rs:92-103);
         # it doubles as the MIS bsdf-branch sample (path_mis_weight)
         u_bsdf = draw2(st, dim0 + smp.DIM_BSDF_U)
-        f, wi, pdf, kind = sl.bsdf_sample(bsdf, wo, u_bsdf, ALL)
+        # Pallas mega-kernel on TPU (one launch replaces the slot
+        # sample sweep's few hundred fixed-cost ops), XLA elsewhere
+        from arendur_tpu.bxdf import pallas_shade as psh
+        f, wi, pdf, kind = psh.dispatch_sample(bsdf, wo, u_bsdf, ALL)
         cont = lane_active & ~spec.is_black(f) & (pdf > 0.0)
         specular = jnp.where(lane_active, (kind & SPECULAR) != 0,
                              specular)
@@ -323,10 +427,13 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
     # estimator.  The specular-flag emission term is NOT collected here
     # (the reference's loop exits before sampling vertex max_depth).
     need = carry["alive"] & carry["nee_prev"]
-    if config.max_depth > 0:
-        perm, n_need = _compact_perm(need)
-        carry = _permute_carry(carry, perm)
-        need = need[perm]
+    if config.max_depth > 0 and config.defer_final_mis:
+        if config.compact:
+            perm, n_need = _compact_perm(need)
+            carry = _permute_carry(carry, perm)
+            need = need[perm]
+        else:
+            n_need = None
         hit_f = sc.intersect(scene, carry["o"], carry["d"],
                              n_alive=n_need)
         gate = need & hit_f.hit & (hit_f.light_id >= 0) \
@@ -407,10 +514,14 @@ def render(scene: sc.SceneData, camera: cam.CameraData,
             state = flm.film_splat(film_cfg, state, pfilm, L, mask=valid)
         return state, aux["n_invalid"]
 
+    run_wave_c = None
     for i in range(start_wave, n_waves):
         ray_idx = i * wave + jnp.arange(wave, dtype=jnp.int32)
+        if run_wave_c is None:
+            # raised scoped-VMEM budget for the pallas shade kernels
+            run_wave_c = utils.compile_tpu(run_wave, state, ray_idx)
         with utils.profile_phase("pt rendering"):
-            state, n_invalid = run_wave(state, ray_idx)
+            state, n_invalid = run_wave_c(state, ray_idx)
         if progress:
             ni = int(n_invalid)
             if ni:

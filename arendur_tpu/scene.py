@@ -48,6 +48,10 @@ class LightTable:
     # hit/sample point (component/shape.rs:91-130,
     # shape/triangle.rs:541-626); `emission` holds the constant factor.
     emission_tex: jnp.ndarray = None
+    # host-static set of light types present (set at build()): inside
+    # a jit trace the array leaves are tracers, so the per-type pruning
+    # cannot be re-derived from them
+    types_present: tuple = struct.field(pytree_node=False, default=None)
 
     @property
     def count(self):
@@ -55,9 +59,13 @@ class LightTable:
 
 
 def light_types_present(lights: LightTable):
-    """Host-static set of light types in the scene (None if the table
-    is traced).  Lets NEE emit only the per-type branches that can
-    actually occur — masked SIMD work is only free if never emitted."""
+    """Host-static set of light types in the scene (None if unknown).
+    Lets NEE emit only the per-type branches that can actually occur —
+    masked SIMD work is only free if never emitted.  Prefers the
+    static field baked at build(); falls back to reading the array
+    (works on NumPy leaves, not on tracers)."""
+    if getattr(lights, "types_present", None) is not None:
+        return lights.types_present
     try:
         return tuple(sorted(int(t) for t in
                             np.unique(np.asarray(lights.ltype))))
@@ -577,7 +585,8 @@ class SceneBuilder:
             powers[i] = self._light_power(row, tri_areas, sphere_areas)
         lights = LightTable(
             ltype=lt, prim=lprim, emission=lem, pos=lpos,
-            aux=laux, params=lpar, emission_tex=letex)
+            aux=laux, params=lpar, emission_tex=letex,
+            types_present=tuple(sorted(set(int(t) for t in lt))))
 
         if not self.material_rows:
             self.material_rows.append(dict(mtype=0, kd=(0.5, 0.5, 0.5)))
@@ -756,58 +765,81 @@ def intersect(scene: SceneData, o, d, tmax=None, n_alive=None) -> Hit:
 
     # --- instanced meshes: shared local-space tables, per-instance ray
     # transform (ref: component/transformed.rs:54-62; t is invariant
-    # because the direction is transformed by the linear part only) ---
+    # because the direction is transformed by the linear part only).
+    # All I instances are intersected in ONE [I*N]-lane kernel launch
+    # (rays batched through every transform), so the HLO op count is
+    # flat in the instance count; only the winning instance's hit is
+    # resolved per lane afterwards.
     prim_base = scene.n_tris + scene.spheres.count
+    n = o.shape[0]
     for im in scene.inst:
         I = im.o2w.shape[0]
         T_m = im.attr.shape[0]
-        for i in range(I):
-            w2o = im.w2o[i]
-            ol = o @ w2o[:3, :3] + w2o[3, :3]
-            dl = d @ w2o[:3, :3]
-            cur_bound = jnp.minimum(tmax, t_tri)
-            if _use_pallas_intersect():
-                from arendur_tpu.shapes import pallas_intersect as pli
-                t_i, slot_i = pli.intersect_clusters(
-                    im.cw, im.cbox, ol, dl, cur_bound, n_alive=n_alive)
-            else:
-                ki = im.cw.shape[-1] // 4
-                t_i, slot_i, _, _ = mxi.intersect_mxu(
-                    im.cw, ol, dl, cur_bound,
-                    im.cw.shape[0] * ki, chunk=ki)
-            li = jnp.where(slot_i >= 0,
-                           im.remap[jnp.maximum(slot_i, 0)], -1)
-            hit_i = (li >= 0) & (t_i < t_tri)
-            irow = im.attr[jnp.maximum(li, 0)]
-            b0i, b1i = _bary_from_vertices(
-                ol, dl, irow[:, 0:3], irow[:, 3:6], irow[:, 6:9])
-            pos_l, perr_l, uv_i, dpdu_l, dpdv_l, ns_l = \
-                _tri_shading(irow, b0i, b1i)
-            lin = im.o2w[i, :3, :3]
-            pos_w = pos_l @ lin + im.o2w[i, 3, :3]
-            dpdu_w = dpdu_l @ lin
-            dpdv_w = dpdv_l @ lin
-            ng_w = normalize(cross(dpdu_w, dpdv_w))
-            ns_w = normalize(ns_l @ im.nrm[i])
-            flip_i = dot(ns_w, ng_w) < 0.0
-            ns_w = jnp.where(flip_i[:, None], -ns_w, ns_w)
-            perr_w = perr_l @ jnp.abs(lin) + 1e-7 * jnp.abs(pos_w)
-            m = hit_i[:, None]
-            sel1 = lambda a, b: jnp.where(hit_i, a, b)
-            sel3 = lambda a, b: jnp.where(m, a, b)
-            t_tri = sel1(t_i, t_tri)
-            tri_hit = tri_hit | hit_i
-            pos_tri = sel3(pos_w, pos_tri)
-            perr_tri = sel3(perr_w, perr_tri)
-            uv_tri = sel3(uv_i, uv_tri)
-            dpdu_tri = sel3(dpdu_w, dpdu_tri)
-            dpdv_tri = sel3(dpdv_w, dpdv_tri)
-            ng_tri = sel3(ng_w, ng_tri)
-            ns_tri = sel3(ns_w, ns_tri)
-            mat_tri = sel1(irow[:, 24].astype(jnp.int32), mat_tri)
-            light_tri = sel1(jnp.full_like(mat_tri, -1), light_tri)
-            prim_tri = sel1(prim_base + li, prim_tri)
-            prim_base += T_m
+        w2o = im.w2o                       # [I,4,4] row-vector layout
+        ol = (jnp.einsum('nj,ijk->ink', o, w2o[:, :3, :3])
+              + w2o[:, None, 3, :3]).reshape(I * n, 3)
+        dl = jnp.einsum('nj,ijk->ink', d, w2o[:, :3, :3]) \
+            .reshape(I * n, 3)
+        cur_bound = jnp.minimum(tmax, t_tri)
+        bound_b = jnp.tile(cur_bound, I)
+        if _use_pallas_intersect():
+            from arendur_tpu.shapes import pallas_intersect as pli
+            t_f, slot_f = pli.intersect_clusters(
+                im.cw, im.cbox, ol, dl, bound_b,
+                n_alive=n_alive, period=n)
+        else:
+            ki = im.cw.shape[-1] // 4
+            t_f, slot_f, _, _ = mxi.intersect_mxu(
+                im.cw, ol, dl, bound_b,
+                im.cw.shape[0] * ki, chunk=ki)
+        li_f = jnp.where(slot_f >= 0,
+                         im.remap[jnp.maximum(slot_f, 0)], -1)
+        t_im = jnp.where(li_f >= 0, t_f, jnp.inf).reshape(I, n)
+        # winning instance per lane (closest over the I blocks)
+        inst_best = jnp.argmin(t_im, axis=0)
+        t_i = jnp.take_along_axis(t_im, inst_best[None, :], 0)[0]
+        li = jnp.take_along_axis(
+            li_f.reshape(I, n), inst_best[None, :], 0)[0]
+        hit_i = (li >= 0) & (t_i < t_tri) & jnp.isfinite(t_i)
+        # winning instance's transforms + local ray (per-lane gathers
+        # over the tiny [I,...] tables)
+        w2o_b = w2o[inst_best]             # [N,4,4]
+        o2w_b = im.o2w[inst_best]
+        nrm_b = im.nrm[inst_best]
+        ol_b = jnp.einsum('nj,njk->nk', o, w2o_b[:, :3, :3]) \
+            + w2o_b[:, 3, :3]
+        dl_b = jnp.einsum('nj,njk->nk', d, w2o_b[:, :3, :3])
+        irow = im.attr[jnp.maximum(li, 0)]
+        b0i, b1i = _bary_from_vertices(
+            ol_b, dl_b, irow[:, 0:3], irow[:, 3:6], irow[:, 6:9])
+        pos_l, perr_l, uv_i, dpdu_l, dpdv_l, ns_l = \
+            _tri_shading(irow, b0i, b1i)
+        lin = o2w_b[:, :3, :3]
+        pos_w = jnp.einsum('nj,njk->nk', pos_l, lin) + o2w_b[:, 3, :3]
+        dpdu_w = jnp.einsum('nj,njk->nk', dpdu_l, lin)
+        dpdv_w = jnp.einsum('nj,njk->nk', dpdv_l, lin)
+        ng_w = normalize(cross(dpdu_w, dpdv_w))
+        ns_w = normalize(jnp.einsum('nj,njk->nk', ns_l, nrm_b))
+        flip_i = dot(ns_w, ng_w) < 0.0
+        ns_w = jnp.where(flip_i[:, None], -ns_w, ns_w)
+        perr_w = jnp.einsum('nj,njk->nk', perr_l, jnp.abs(lin)) \
+            + 1e-7 * jnp.abs(pos_w)
+        m = hit_i[:, None]
+        sel1 = lambda a, b: jnp.where(hit_i, a, b)
+        sel3 = lambda a, b: jnp.where(m, a, b)
+        t_tri = sel1(t_i, t_tri)
+        tri_hit = tri_hit | hit_i
+        pos_tri = sel3(pos_w, pos_tri)
+        perr_tri = sel3(perr_w, perr_tri)
+        uv_tri = sel3(uv_i, uv_tri)
+        dpdu_tri = sel3(dpdu_w, dpdu_tri)
+        dpdv_tri = sel3(dpdv_w, dpdv_tri)
+        ng_tri = sel3(ng_w, ng_tri)
+        ns_tri = sel3(ns_w, ns_tri)
+        mat_tri = sel1(irow[:, 24].astype(jnp.int32), mat_tri)
+        light_tri = sel1(jnp.full_like(mat_tri, -1), light_tri)
+        prim_tri = sel1(prim_base + li, prim_tri)
+        prim_base += T_m
 
     sp = sph.intersect_spheres(scene.spheres, o, d,
                                jnp.minimum(tmax, t_tri))
@@ -875,19 +907,27 @@ def occluded(scene: SceneData, o, d, tmax, n_alive=None) -> jnp.ndarray:
     else:
         blocked_t = tri.occluded_tris(
             o, d, tmax, scene.tri_v0, scene.tri_v1, scene.tri_v2)
+    # instances batched into one [I*N]-lane any-hit launch (op count
+    # flat in I, like intersect)
+    n = o.shape[0]
     for im in scene.inst:
-        for i in range(im.o2w.shape[0]):
-            w2o = im.w2o[i]
-            ol = o @ w2o[:3, :3] + w2o[3, :3]
-            dl = d @ w2o[:3, :3]
-            if _use_pallas_intersect():
-                from arendur_tpu.shapes import pallas_intersect as pli
-                blocked_t = blocked_t | pli.occluded_clusters(
-                    im.cw, im.cbox, ol, dl, tmax, n_alive=n_alive)
-            else:
-                ki = im.cw.shape[-1] // 4
-                blocked_t = blocked_t | mxi.occluded_mxu(
-                    im.cw, ol, dl, tmax, im.cw.shape[0] * ki, chunk=ki)
+        I = im.o2w.shape[0]
+        w2o = im.w2o
+        ol = (jnp.einsum('nj,ijk->ink', o, w2o[:, :3, :3])
+              + w2o[:, None, 3, :3]).reshape(I * n, 3)
+        dl = jnp.einsum('nj,ijk->ink', d, w2o[:, :3, :3]) \
+            .reshape(I * n, 3)
+        tmax_b = jnp.tile(tmax, I)
+        if _use_pallas_intersect():
+            from arendur_tpu.shapes import pallas_intersect as pli
+            blk = pli.occluded_clusters(
+                im.cw, im.cbox, ol, dl, tmax_b,
+                n_alive=n_alive, period=n)
+        else:
+            ki = im.cw.shape[-1] // 4
+            blk = mxi.occluded_mxu(
+                im.cw, ol, dl, tmax_b, im.cw.shape[0] * ki, chunk=ki)
+        blocked_t = blocked_t | jnp.any(blk.reshape(I, n), axis=0)
     sp = sph.intersect_spheres(scene.spheres, o, d, tmax)
     return blocked_t | sp["hit"]
 

@@ -111,8 +111,14 @@ def _closest_kernel(feats_ref, aux_ref, cbox_ref, w_ref, out_ref, *,
 
     best_t = out_ref[:, 0:1]
     n_alive = aux_ref[0, 2].astype(jnp.int32)
-    tile_live = (i * rn) < n_alive
-    lane_ok = (i * rn + jax.lax.broadcasted_iota(
+    period = aux_ref[0, 3].astype(jnp.int32)
+    # period > 0: the wave is I stacked instance blocks of `period`
+    # rays each (batched instancing); the compaction bound applies
+    # within every block, not to the flat index
+    base = i * rn
+    base = jnp.where(period > 0, base % jnp.maximum(period, 1), base)
+    tile_live = base < n_alive
+    lane_ok = (base + jax.lax.broadcasted_iota(
         jnp.int32, (rn, 1), 0)) < n_alive
     box = _slab_hit(feats_ref[:], cbox_ref, j, best_t) & lane_ok
 
@@ -150,8 +156,11 @@ def _anyhit_kernel(feats_ref, aux_ref, cbox_ref, w_ref, out_ref, *,
 
     blocked = out_ref[:, 0:1] > 0.5
     n_alive = aux_ref[0, 2].astype(jnp.int32)
-    tile_live = (i * rn) < n_alive
-    lane_ok = (i * rn + jax.lax.broadcasted_iota(
+    period = aux_ref[0, 3].astype(jnp.int32)
+    base = i * rn
+    base = jnp.where(period > 0, base % jnp.maximum(period, 1), base)
+    tile_live = base < n_alive
+    lane_ok = (base + jax.lax.broadcasted_iota(
         jnp.int32, (rn, 1), 0)) < n_alive
     tmax = aux_ref[:, 0:1]
     box = _slab_hit(feats_ref[:], cbox_ref, j, tmax) & lane_ok
@@ -216,23 +225,31 @@ def _run(w_clusters, cbox, feats, aux, k: int, anyhit: bool,
     return out[:n]
 
 
-def _make_aux(o, tmax, n_alive):
+def _make_aux(o, tmax, n_alive, period: int = 0):
     """[N,8] per-ray aux block: col 0 = tmax, col 1 = relative t
     epsilon (self-hit guard scaled by |o|, ref triangle.rs:431-451),
-    col 2 = n_alive broadcast (compaction bound)."""
+    col 2 = n_alive broadcast (compaction bound), col 3 = block period
+    (batched instancing: n_alive applies per `period`-ray block; 0 =
+    flat).  period must be a multiple of the ray tile."""
     n = o.shape[0]
     teps = 1e-5 * (1.0 + jnp.max(jnp.abs(o), axis=-1))
     if n_alive is None:
         n_alive = jnp.int32(n)
+        period = 0
+    if period and period % _RAY_TILE != 0:
+        # a tile straddling two blocks cannot use the bound
+        n_alive = jnp.int32(n)
+        period = 0
     na = jnp.broadcast_to(
         jnp.asarray(n_alive, jnp.float32).reshape(()), (n,))
+    pd = jnp.full((n,), jnp.float32(period))
     return jnp.stack(
-        [tmax.astype(jnp.float32), teps, na] + [jnp.zeros((n,))] * 5,
+        [tmax.astype(jnp.float32), teps, na, pd] + [jnp.zeros((n,))] * 4,
         axis=-1)
 
 
 def intersect_clusters(w_clusters, cbox, o, d, tmax, n_alive=None,
-                       interpret: bool = False):
+                       period: int = 0, interpret: bool = False):
     """Closest hit of N rays against the cluster tables.
 
     Returns (t [N], slot [N] int32): slot = cluster*K + lane into the
@@ -243,7 +260,7 @@ def intersect_clusters(w_clusters, cbox, o, d, tmax, n_alive=None,
     cbox = jnp.asarray(cbox)
     k = w_clusters.shape[-1] // 4
     feats = ray_features(o, d)
-    aux = _make_aux(o, tmax, n_alive)
+    aux = _make_aux(o, tmax, n_alive, period)
     out = _run(w_clusters, cbox, feats, aux, k, False, interpret)
     slot = out[:, 1].astype(jnp.int32)
     t = jnp.where(slot < 0, tmax, out[:, 0])
@@ -251,12 +268,12 @@ def intersect_clusters(w_clusters, cbox, o, d, tmax, n_alive=None,
 
 
 def occluded_clusters(w_clusters, cbox, o, d, tmax, n_alive=None,
-                      interpret: bool = False):
+                      period: int = 0, interpret: bool = False):
     """Any-hit within (0, tmax); rays >= n_alive report unblocked."""
     w_clusters = jnp.asarray(w_clusters)
     cbox = jnp.asarray(cbox)
     k = w_clusters.shape[-1] // 4
     feats = ray_features(o, d)
-    aux = _make_aux(o, tmax, n_alive)
+    aux = _make_aux(o, tmax, n_alive, period)
     out = _run(w_clusters, cbox, feats, aux, k, True, interpret)
     return out[:, 0] > 0.5

@@ -20,6 +20,7 @@ from flax import struct
 
 from arendur_tpu.geometry.vec import vec3, dot, cross, normalize, length
 from arendur_tpu.geometry import transform as tf
+from arendur_tpu.geometry.frame import atan2_poly
 
 PI = float(jnp.pi)
 
@@ -62,12 +63,15 @@ def make_sphere_params(radius, zmin, zmax, phimax):
     return radius, zmin, zmax, thetamin, thetamax, phimax
 
 
-def _intersect_local(o, d, tmax, radius, zmin, zmax, phimax):
+def _intersect_local(o, d, tmax, radius, zmin, zmax, phimax,
+                     skip_phi_clip: bool = False):
     """Rays (local frame) vs one sphere. o,d: [N,3]; scalars per sphere.
 
     Returns (hit [N], t [N], p_local [N,3]).
     Reference quadratic (sphere.rs:193-221) then clip (sphere.rs:231-245,
     which rejects rather than retrying the far root — mirrored).
+    skip_phi_clip statically removes the atan2-based phi test (valid
+    for full-phi spheres; required inside Pallas kernels).
     """
     a = jnp.maximum(dot(d, d), 1e-20)
     b = 2.0 * dot(d, o)
@@ -92,16 +96,18 @@ def _intersect_local(o, d, tmax, radius, zmin, zmax, phimax):
     px = jnp.where(degenerate, 1e-5 * r_col[..., 0], p[..., 0])
     p = jnp.stack([px, p[..., 1], p[..., 2]], axis=-1)
 
-    phi = jnp.arctan2(p[..., 1], p[..., 0])
-    phi = jnp.where(phi < 0.0, phi + 2.0 * PI, phi)
-    clipped = (p[..., 2] < zmin) | (p[..., 2] > zmax) | (phi > phimax)
+    clipped = (p[..., 2] < zmin) | (p[..., 2] > zmax)
+    if not skip_phi_clip:
+        phi = atan2_poly(p[..., 1], p[..., 0])
+        phi = jnp.where(phi < 0.0, phi + 2.0 * PI, phi)
+        clipped = clipped | (phi > phimax)
     return ok & ~clipped, t, p
 
 
 def _local_duv(p, radius, thetamin, thetamax, phimax):
     """uv + dpdu/dpdv/dndu/dndv at local point p (sphere.rs:248-277)."""
     thetadelta = thetamax - thetamin
-    phi = jnp.arctan2(p[..., 1], p[..., 0])
+    phi = atan2_poly(p[..., 1], p[..., 0])
     phi = jnp.where(phi < 0.0, phi + 2.0 * PI, phi)
     u = phi / phimax
     theta = jnp.arccos(jnp.clip(p[..., 2] / radius, -1.0 + 1e-7,

@@ -53,26 +53,11 @@ def ray_shear(d):
     return perm, shear
 
 
-def intersect_batch(o, d, tmax, perm, shear, v0, v1, v2):
-    """Test N rays against C triangles -> (hit [N,C], t, b0, b1).
-
-    o, d: [N, 3]; tmax: [N]; perm/shear: from ray_shear;
-    v0, v1, v2: [C, 3].  All outputs [N, C].
-    """
-    # translate + permute: [N, C, 3]
-    def shear_pts(v):
-        p = v[None, :, :] - o[:, None, :]
-        p = jnp.take_along_axis(p, jnp.broadcast_to(
-            perm[:, None, :], p.shape), axis=-1)
-        px = p[..., 0] + shear[:, None, 0] * p[..., 2]
-        py = p[..., 1] + shear[:, None, 1] * p[..., 2]
-        pz = p[..., 2] * shear[:, None, 2]
-        return px, py, pz
-
-    p0x, p0y, p0z = shear_pts(v0)
-    p1x, p1y, p1z = shear_pts(v1)
-    p2x, p2y, p2z = shear_pts(v2)
-
+def _watertight_core(p0x, p0y, p0z, p1x, p1y, p1z, p2x, p2y, p2z, tmax):
+    """Edge-function accept test on sheared points (shape-generic: the
+    [N,C] batch sweep and the BVH's [N] lane-wise leaf test share this
+    exact expression tree so their accept decisions are identical —
+    the SURVEY M2 'identical hits' requirement)."""
     e0 = p1x * p2y - p1y * p2x
     e1 = p2x * p0y - p2y * p0x
     e2 = p0x * p1y - p0y * p1x
@@ -97,8 +82,8 @@ def intersect_batch(o, d, tmax, perm, shear, v0, v1, v2):
     tscaled = e0 * p0z + e1 * p1z + e2 * p2z
     in_range = jnp.where(
         det < 0.0,
-        (tscaled < 0.0) & (tscaled >= tmax[:, None] * det),
-        (tscaled > 0.0) & (tscaled <= tmax[:, None] * det))
+        (tscaled < 0.0) & (tscaled >= tmax * det),
+        (tscaled > 0.0) & (tscaled <= tmax * det))
 
     safe_det = jnp.where(nonzero, det, 1.0)
     inv_det = 1.0 / safe_det
@@ -121,6 +106,47 @@ def intersect_batch(o, d, tmax, perm, shear, v0, v1, v2):
 
     hit = same_sign & nonzero & in_range & (t > delta_t)
     return hit, t, b0, b1
+
+
+def intersect_batch(o, d, tmax, perm, shear, v0, v1, v2):
+    """Test N rays against C triangles -> (hit [N,C], t, b0, b1).
+
+    o, d: [N, 3]; tmax: [N]; perm/shear: from ray_shear;
+    v0, v1, v2: [C, 3].  All outputs [N, C].
+    """
+    # translate + permute: [N, C, 3]
+    def shear_pts(v):
+        p = v[None, :, :] - o[:, None, :]
+        p = jnp.take_along_axis(p, jnp.broadcast_to(
+            perm[:, None, :], p.shape), axis=-1)
+        px = p[..., 0] + shear[:, None, 0] * p[..., 2]
+        py = p[..., 1] + shear[:, None, 1] * p[..., 2]
+        pz = p[..., 2] * shear[:, None, 2]
+        return px, py, pz
+
+    p0 = shear_pts(v0)
+    p1 = shear_pts(v1)
+    p2 = shear_pts(v2)
+    return _watertight_core(*p0, *p1, *p2, tmax[:, None])
+
+
+def intersect_watertight_lanewise(o, d, tmax, perm, shear, v0, v1, v2):
+    """Ray i vs triangle i with the SAME watertight test as
+    intersect_batch (shared _watertight_core) — the BVH leaf test,
+    guaranteeing identical accepts vs the naive oracle (SURVEY M2).
+    o, d, v*: [N,3]; tmax: [N]."""
+    def shear_pts(v):
+        p = v - o
+        p = jnp.take_along_axis(p, perm, axis=-1)
+        px = p[..., 0] + shear[..., 0] * p[..., 2]
+        py = p[..., 1] + shear[..., 1] * p[..., 2]
+        pz = p[..., 2] * shear[..., 2]
+        return px, py, pz
+
+    p0 = shear_pts(v0)
+    p1 = shear_pts(v1)
+    p2 = shear_pts(v2)
+    return _watertight_core(*p0, *p1, *p2, tmax)
 
 
 def intersect_scene_tris(o, d, tmax, v0, v1, v2, chunk: int = 512):

@@ -60,6 +60,30 @@ def profile_trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+# -- TPU compile options -----------------------------------------------------
+
+# XLA places a pallas custom-call's whole operands/results in scoped
+# VMEM when they fit its budget; with the intersect + shade kernels
+# co-live in one bounce body the default 16 MiB budget overflows.
+TPU_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "40960"}
+
+
+def compile_tpu(jitted, *args, **kwargs):
+    """AOT-compile a jitted callable with the raised scoped-VMEM limit
+    on TPU backends; returns the jitted fn unchanged on CPU (the limit
+    is a libtpu flag)."""
+    import jax
+    try:
+        if jax.default_backend() == "cpu":
+            return jitted
+        return jitted.lower(*args, **kwargs).compile(
+            compiler_options=TPU_COMPILER_OPTIONS)
+    except Exception:       # pragma: no cover - older jaxlib fallback
+        log.warning("compile_tpu: AOT compile with options failed; "
+                    "falling back to plain jit", exc_info=True)
+        return jitted
+
+
 # -- render checkpointing ----------------------------------------------------
 
 def save_checkpoint(path: str, film_state, next_ray: int, seed: int,

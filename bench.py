@@ -69,8 +69,10 @@ def inner():
             film_cfg, state, pfilm - pixel_xy, L, ray_idx[0] // spp,
             spp, mask=ray_idx < total)
 
+    from arendur_tpu import utils
     state = flm.film_init(film_cfg, padded=True)
     idx0 = jnp.arange(wave, dtype=jnp.int32)
+    run_wave = utils.compile_tpu(run_wave, state, idx0)
     state = run_wave(state, idx0)           # warmup/compile
     jax.block_until_ready(state)
 

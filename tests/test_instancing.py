@@ -174,3 +174,62 @@ class TestTransformedMeshJSON:
         # both instance placements are visible (left and right halves)
         assert img[:, :12].max() > 0.01
         assert img[:, 12:].max() > 0.01
+
+
+class TestBatchedInstances:
+    """The instanced pass is ONE batched launch over all I instances
+    (ref round-4: scene.intersect stacks [I*N] transformed rays), so
+    the traced op count is flat in I."""
+
+    def _intersect_jaxpr_eqns(self, n_inst):
+        import jax
+        v, f = _quad()
+        b = sc.SceneBuilder()
+        m = b.add_material(mtype=mats.M_MATTE, kd=(0.5, 0.5, 0.5))
+        ts = [_translate(1.7 * i, 0.0, -0.5 * i) for i in range(n_inst)]
+        b.add_instanced_mesh(
+            [dict(vertices=v, faces=f, mat_id=m)], ts)
+        # a ground quad so the world pool is non-empty
+        b.add_mesh(v, f, m, transform=_translate(0, 0, -5))
+        scene = b.build()
+        o = jnp.zeros((64, 3), jnp.float32)
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32),
+                     (64, 1))
+        jaxpr = jax.make_jaxpr(
+            lambda o, d: sc.intersect(scene, o, d))(o, d)
+        return sum(1 for _ in jaxpr.jaxpr.eqns)
+
+    def test_op_count_flat_in_instance_count(self):
+        e2 = self._intersect_jaxpr_eqns(2)
+        e64 = self._intersect_jaxpr_eqns(64)
+        assert e64 == e2, (e2, e64)
+
+    def test_batched_matches_baked_at_16(self):
+        v, f = _quad()
+        ts = [_translate(1.3 * (i % 4) - 2.0, 1.3 * (i // 4) - 2.0,
+                         -0.2 * i) for i in range(16)]
+        bi = sc.SceneBuilder()
+        mi = bi.add_material(mtype=mats.M_MATTE, kd=(0.5, 0.5, 0.5))
+        bi.add_instanced_mesh([dict(vertices=v, faces=f, mat_id=mi)], ts)
+        si = bi.build()
+        bb = sc.SceneBuilder()
+        mb = bb.add_material(mtype=mats.M_MATTE, kd=(0.5, 0.5, 0.5))
+        for t in ts:
+            bb.add_mesh(v, f, mb, transform=t)
+        sb = bb.build()
+        rng = np.random.default_rng(5)
+        o = jnp.asarray(rng.uniform(-3, 3, (256, 3)) + [0, 0, 6],
+                        jnp.float32)
+        dirs = rng.normal(size=(256, 3))
+        dirs[:, 2] = -np.abs(dirs[:, 2]) - 0.5
+        d = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1,
+                                              keepdims=True), jnp.float32)
+        hi = sc.intersect(si, o, d)
+        hb = sc.intersect(sb, o, d)
+        np.testing.assert_array_equal(np.asarray(hi.hit),
+                                      np.asarray(hb.hit))
+        both = np.asarray(hi.hit)
+        np.testing.assert_allclose(np.asarray(hi.t)[both],
+                                   np.asarray(hb.t)[both], rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(hi.pos)[both],
+                                   np.asarray(hb.pos)[both], atol=1e-4)

@@ -32,9 +32,13 @@ class TestMXUIntersect:
         t_ref, t_m = np.asarray(t_ref), np.asarray(t_m)
         hit_r = i_ref >= 0
         hit_m = i_m >= 0
+        # compare t only where both hit: miss lanes hold +inf, and
+        # inf - inf would emit a NaN RuntimeWarning
+        both = hit_r & hit_m
+        dt = np.zeros_like(t_ref)
+        dt[both] = np.abs(t_ref[both] - t_m[both])
         disagree = (hit_r != hit_m) | (
-            hit_r & hit_m & (np.abs(t_ref - t_m) > 2e-3
-                             * np.maximum(1.0, np.abs(t_ref))))
+            dt > 2e-3 * np.maximum(1.0, np.abs(np.where(both, t_ref, 0.0))))
         assert disagree.mean() < 0.005, disagree.sum()
         same = hit_r & hit_m & (i_ref == i_m)
         # barycentrics agree where the same triangle won

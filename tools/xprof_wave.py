@@ -46,6 +46,8 @@ def main():
         return integ.trace_wave(scene, camera, config, pixel_xy,
                                 pixel_id, sample_id, base_key)
 
+    from arendur_tpu import utils
+    full = utils.compile_tpu(full)
     jax.block_until_ready(full())
     with jax.profiler.trace(out):
         jax.block_until_ready(full())
