@@ -57,7 +57,14 @@ def _d_trowbridge(wh, ax, ay):
     return jnp.where(jnp.isfinite(tan2) & jnp.isfinite(val), val, 0.0)
 
 
-def distribution(dist, wh, ax, ay):
+def distribution(dist, wh, ax, ay, dists=None):
+    """dists: optional static tuple of the D_* values that can occur
+    (materials.dist_presence) — single-member sets skip the other
+    model entirely (masked SIMD work is only free if never emitted)."""
+    if dists is not None and tuple(dists) == (D_BECKMANN,):
+        return _d_beckmann(wh, ax, ay)
+    if dists is not None and tuple(dists) == (D_TROWBRIDGE,):
+        return _d_trowbridge(wh, ax, ay)
     return jnp.where(dist == D_BECKMANN,
                      _d_beckmann(wh, ax, ay), _d_trowbridge(wh, ax, ay))
 
@@ -81,23 +88,29 @@ def _lambda_trowbridge(w, ax, ay):
     return jnp.where(jnp.isfinite(tabs), val, 0.0)
 
 
-def lam(dist, w, ax, ay):
+def lam(dist, w, ax, ay, dists=None):
+    if dists is not None and tuple(dists) == (D_BECKMANN,):
+        return _lambda_beckmann(w, ax, ay)
+    if dists is not None and tuple(dists) == (D_TROWBRIDGE,):
+        return _lambda_trowbridge(w, ax, ay)
     return jnp.where(dist == D_BECKMANN,
                      _lambda_beckmann(w, ax, ay),
                      _lambda_trowbridge(w, ax, ay))
 
 
-def visible(dist, w, ax, ay):
-    return 1.0 / (1.0 + lam(dist, w, ax, ay))
+def visible(dist, w, ax, ay, dists=None):
+    return 1.0 / (1.0 + lam(dist, w, ax, ay, dists))
 
 
-def visible_both(dist, w0, w1, ax, ay):
-    return 1.0 / (1.0 + lam(dist, w0, ax, ay) + lam(dist, w1, ax, ay))
+def visible_both(dist, w0, w1, ax, ay, dists=None):
+    return 1.0 / (1.0 + lam(dist, w0, ax, ay, dists)
+                  + lam(dist, w1, ax, ay, dists))
 
 
-def pdf_wh(dist, wo, wh, ax, ay):
+def pdf_wh(dist, wo, wh, ax, ay, dists=None):
     """ref: microfacet.rs:49-52 (visible-normal pdf)."""
-    return (distribution(dist, wh, ax, ay) * visible(dist, wo, ax, ay)
+    return (distribution(dist, wh, ax, ay, dists)
+            * visible(dist, wo, ax, ay, dists)
             * jnp.abs(dot(wo, wh))
             / jnp.maximum(jnp.abs(frame.cos_theta(wo)), 1e-20))
 
@@ -269,7 +282,11 @@ def _sample_wh_trowbridge(wo, u, ax, ay):
     return jnp.where(flip[..., None], -wh, wh)
 
 
-def sample_wh(dist, wo, u, ax, ay):
+def sample_wh(dist, wo, u, ax, ay, dists=None):
+    if dists is not None and tuple(dists) == (D_BECKMANN,):
+        return _sample_wh_beckmann(wo, u, ax, ay)
+    if dists is not None and tuple(dists) == (D_TROWBRIDGE,):
+        return _sample_wh_trowbridge(wo, u, ax, ay)
     return jnp.where((dist == D_BECKMANN)[..., None],
                      _sample_wh_beckmann(wo, u, ax, ay),
                      _sample_wh_trowbridge(wo, u, ax, ay))

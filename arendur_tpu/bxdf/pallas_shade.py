@@ -73,7 +73,7 @@ def _bsdf_cols(k: int) -> int:
     return 13 + 12 * k
 
 
-def _unpack_bsdf(x, k, present):
+def _unpack_bsdf(x, k, present, dists=None):
     o = 0
 
     def take(w):
@@ -93,7 +93,7 @@ def _unpack_bsdf(x, k, present):
     return sl.BsdfSlots(ns=ns, ts=ts, bs=bs, ng=ng, eta=eta,
                         type=stype, kind=kind, dist=dist,
                         c0=c0, c1=c1, p0=p0, p1=p1, p2=p2,
-                        present=present), x[:, o:]
+                        present=present, dists=dists), x[:, o:]
 
 
 # XLA places a pallas_call's whole operands+results in scoped VMEM
@@ -136,8 +136,9 @@ def _pad_run(kern, x, out_cols, interpret):
 # mixture sample (slots.bsdf_sample)
 # ---------------------------------------------------------------------------
 
-def _sample_kernel(x_ref, o_ref, *, k: int, types: int, present):
-    b, rest = _unpack_bsdf(x_ref[:], k, present)
+def _sample_kernel(x_ref, o_ref, *, k: int, types: int, present,
+                   dists):
+    b, rest = _unpack_bsdf(x_ref[:], k, present, dists)
     wow, u = rest[:, 0:3], rest[:, 3:5]
     f, wiw, pdf, skind = sl.bsdf_sample(b, wow, u, types)
     o_ref[:] = jnp.concatenate(
@@ -146,11 +147,13 @@ def _sample_kernel(x_ref, o_ref, *, k: int, types: int, present):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "types", "present", "interpret"))
-def _sample_run(x, k, types, present, interpret):
+                   static_argnames=("k", "types", "present", "dists",
+                                    "interpret"))
+def _sample_run(x, k, types, present, dists, interpret):
     return _pad_run(
         functools.partial(_sample_kernel, k=k, types=types,
-                          present=present), x, 8, interpret)
+                          present=present, dists=dists), x, 8,
+        interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -158,7 +161,8 @@ def bsdf_sample(b: sl.BsdfSlots, wow, u, types: int = sl.ALL,
                 interpret: bool = False):
     """Drop-in kernelized slots.bsdf_sample (same return contract)."""
     x = jnp.concatenate([_pack_bsdf(b), wow, u], axis=1)
-    out = _sample_run(x, b.nslots, types, b.present, interpret)
+    out = _sample_run(x, b.nslots, types, b.present, b.dists,
+                      interpret)
     return (out[:, 0:3], out[:, 3:6], out[:, 6],
             out[:, 7].astype(jnp.int32))
 
@@ -182,8 +186,9 @@ bsdf_sample.defvjp(_sample_fwd, _sample_bwd)
 # fused evaluate + pdf (slots.bsdf_eval_pdf — the NEE light branch)
 # ---------------------------------------------------------------------------
 
-def _eval_pdf_kernel(x_ref, o_ref, *, k: int, types: int, present):
-    b, rest = _unpack_bsdf(x_ref[:], k, present)
+def _eval_pdf_kernel(x_ref, o_ref, *, k: int, types: int, present,
+                     dists):
+    b, rest = _unpack_bsdf(x_ref[:], k, present, dists)
     wow, wiw = rest[:, 0:3], rest[:, 3:6]
     f, pdf = sl.bsdf_eval_pdf(b, wow, wiw, types)
     o_ref[:] = jnp.concatenate(
@@ -192,11 +197,13 @@ def _eval_pdf_kernel(x_ref, o_ref, *, k: int, types: int, present):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "types", "present", "interpret"))
-def _eval_pdf_run(x, k, types, present, interpret):
+                   static_argnames=("k", "types", "present", "dists",
+                                    "interpret"))
+def _eval_pdf_run(x, k, types, present, dists, interpret):
     return _pad_run(
         functools.partial(_eval_pdf_kernel, k=k, types=types,
-                          present=present), x, 8, interpret)
+                          present=present, dists=dists), x, 8,
+        interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -204,7 +211,8 @@ def bsdf_eval_pdf(b: sl.BsdfSlots, wow, wiw, types: int = sl.ALL,
                   interpret: bool = False):
     """Drop-in kernelized slots.bsdf_eval_pdf (same return contract)."""
     x = jnp.concatenate([_pack_bsdf(b), wow, wiw], axis=1)
-    out = _eval_pdf_run(x, b.nslots, types, b.present, interpret)
+    out = _eval_pdf_run(x, b.nslots, types, b.present, b.dists,
+                        interpret)
     return out[:, 0:3], out[:, 3]
 
 

@@ -75,6 +75,12 @@ class BsdfSlots:
     # eval/pdf/sample sweeps skip whole bxdf families: masked-out SIMD
     # work is only free if it is never emitted.
     present: tuple = struct.field(pytree_node=False, default=None)
+    # static (type_id, (D_*, ...)) pairs: which microfacet
+    # distributions each family can carry (materials.dist_presence);
+    # None = any.  Single-member sets drop the other model's code —
+    # e.g. glass TS slots are always Trowbridge, so the Beckmann
+    # Newton solver vanishes from the TS sweeps.
+    dists: tuple = struct.field(pytree_node=False, default=None)
 
     @property
     def nslots(self):
@@ -94,6 +100,17 @@ class BsdfSlots:
         for c in self.present:
             out |= set(c)
         return tuple(sorted(out))
+
+
+def _fam_dists(dist_sets, *types):
+    """Static distribution set for the given families (None = any)."""
+    if dist_sets is None:
+        return None
+    out = set()
+    for t, ds in dist_sets:
+        if t in types:
+            out |= set(ds)
+    return tuple(sorted(out)) if out else None
 
 
 def make_bsdf_frame(ns, ng, dpdu):
@@ -148,13 +165,13 @@ def _oren_nayar_eval(c0, p0, p1, wo, wi):
                  * (p0 + p1 * max_cos * sin_a * tan_b))[..., None]
 
 
-def _ts_r_eval(c0, alpha, eta0, eta1, dist, wo, wi):
+def _ts_r_eval(c0, alpha, eta0, eta1, dist, wo, wi, dists=None):
     """Torrance-Sparrow reflection (ref: microfacet.rs:396-406) with
     dielectric fresnel."""
     wh = normalize(wo + wi)
     nanmask = ~jnp.all(jnp.isfinite(wh), axis=-1)
-    d = mf.distribution(dist, wh, alpha, alpha)
-    g = mf.visible_both(dist, wo, wi, alpha, alpha)
+    d = mf.distribution(dist, wh, alpha, alpha, dists)
+    g = mf.visible_both(dist, wo, wi, alpha, alpha, dists)
     fr = fresnel_dielectric(dot(wi, wh), eta0, eta1)
     denom = 4.0 * jnp.abs(wo[..., 2]) * jnp.abs(wi[..., 2])
     f = c0 * _fin(d * g * fr / jnp.maximum(denom, 1e-20))[..., None]
@@ -169,7 +186,7 @@ def _safe_ratio(a, b):
     return jnp.clip(r, -1e3, 1e3)
 
 
-def _ts_t_eval(c0, alpha, eta0, eta1, dist, wo, wi):
+def _ts_t_eval(c0, alpha, eta0, eta1, dist, wo, wi, dists=None):
     """Torrance-Sparrow transmission (ref: microfacet.rs:459-490)."""
     same_side = wo[..., 2] * wi[..., 2] > 0.0
     eta = jnp.where(wo[..., 2] > 0.0, _safe_ratio(eta1, eta0),
@@ -181,8 +198,8 @@ def _ts_t_eval(c0, alpha, eta0, eta1, dist, wo, wi):
     fr = fresnel_dielectric(cosoh, eta0, eta1)
     cosih = dot(wi, wh)
     sqrt_denom = cosoh + eta * cosih
-    d = mf.distribution(dist, wh, alpha, alpha)
-    g = mf.visible_both(dist, wo, wi, alpha, alpha)
+    d = mf.distribution(dist, wh, alpha, alpha, dists)
+    g = mf.visible_both(dist, wo, wi, alpha, alpha, dists)
     denom = (jnp.abs(frame.cos_theta(wo)) * jnp.abs(frame.cos_theta(wi))
              * sqrt_denom * sqrt_denom)
     val = c0 * _fin(d * g * (1.0 - fr) * jnp.abs(cosih)
@@ -193,7 +210,7 @@ def _ts_t_eval(c0, alpha, eta0, eta1, dist, wo, wi):
     return jnp.where(same_side[..., None], 0.0, val)
 
 
-def _ashikhmin_eval(c0, c1, alpha, dist, wo, wi):
+def _ashikhmin_eval(c0, c1, alpha, dist, wo, wi, dists=None):
     """Ashikhmin-Shirley diffuse+gloss coat (ref: microfacet.rs:567-589).
     c0=diffuse, c1=specular."""
     wh_raw = wo + wi
@@ -205,7 +222,7 @@ def _ashikhmin_eval(c0, c1, alpha, dist, wo, wi):
     term_i = 1.0 - (1.0 - 0.5 * jnp.abs(frame.cos_theta(wi))) ** 5
     diffuse = (28.0 / (23.0 * PI)) * c0 * (1.0 - c1) \
         * (term_o * term_i)[..., None]
-    d = mf.distribution(dist, wh, alpha, alpha)
+    d = mf.distribution(dist, wh, alpha, alpha, dists)
     cosih = dot(wi, wh)
     denom = 4.0 * jnp.abs(cosih) * jnp.maximum(
         jnp.abs(frame.cos_theta(wi)), jnp.abs(frame.cos_theta(wo)))
@@ -214,18 +231,24 @@ def _ashikhmin_eval(c0, c1, alpha, dist, wo, wi):
     return jnp.where(degen[..., None], 0.0, diffuse + spec)
 
 
-def slot_eval(stype, c0, c1, p0, p1, p2, dist, wo, wi, present=None):
+def slot_eval(stype, c0, c1, p0, p1, p2, dist, wo, wi, present=None,
+              dist_sets=None):
     """f(wo, wi) for one slot column, all lanes.  stype [N]; colors
     [N,3]; scalars [N].  present: optional static type set — families
-    not in it are never computed (materials.slot_presence)."""
+    not in it are never computed (materials.slot_presence);
+    dist_sets: static per-family distribution sets."""
     zero = jnp.zeros_like(c0)
+    fd = lambda *ts: _fam_dists(dist_sets, *ts)
     fams = (
         (T_LAMBERT_R, lambda: c0 * INV_PI),
         (T_LAMBERT_T, lambda: c0 * INV_PI),
         (T_OREN_NAYAR, lambda: _oren_nayar_eval(c0, p0, p1, wo, wi)),
-        (T_TS_R, lambda: _ts_r_eval(c0, p0, p1, p2, dist, wo, wi)),
-        (T_TS_T, lambda: _ts_t_eval(c0, p0, p1, p2, dist, wo, wi)),
-        (T_ASHIKHMIN, lambda: _ashikhmin_eval(c0, c1, p0, dist, wo, wi)),
+        (T_TS_R, lambda: _ts_r_eval(c0, p0, p1, p2, dist, wo, wi,
+                                    fd(T_TS_R))),
+        (T_TS_T, lambda: _ts_t_eval(c0, p0, p1, p2, dist, wo, wi,
+                                    fd(T_TS_T))),
+        (T_ASHIKHMIN, lambda: _ashikhmin_eval(c0, c1, p0, dist, wo, wi,
+                                              fd(T_ASHIKHMIN))),
     )
     out = zero
     for t, fn in fams:
@@ -245,14 +268,15 @@ def _cos_pdf_opposite(wo, wi):
                      jnp.abs(frame.cos_theta(wi)) * INV_PI)
 
 
-def _ts_r_pdf(alpha, dist, wo, wi):
+def _ts_r_pdf(alpha, dist, wo, wi, dists=None):
     wh = normalize(wo + wi)
-    pdf = mf.pdf_wh(dist, wo, wh, alpha, alpha) / (4.0 * dot(wo, wh))
+    pdf = mf.pdf_wh(dist, wo, wh, alpha, alpha, dists) \
+        / (4.0 * dot(wo, wh))
     pdf = jnp.where(jnp.isfinite(pdf), pdf, 0.0)
     return jnp.where(wo[..., 2] * wi[..., 2] <= 0.0, 0.0, pdf)
 
 
-def _ts_t_pdf(alpha, eta0, eta1, dist, wo, wi):
+def _ts_t_pdf(alpha, eta0, eta1, dist, wo, wi, dists=None):
     eta = jnp.where(wo[..., 2] > 0.0, _safe_ratio(eta1, eta0),
                     _safe_ratio(eta0, eta1))
     wh = normalize(wo + wi * eta[..., None])
@@ -260,28 +284,33 @@ def _ts_t_pdf(alpha, eta0, eta1, dist, wo, wi):
     sqrt_denom = dot(wo, wh) + eta * dot(wi, wh)
     dhdi = eta * eta * jnp.abs(dot(wi, wh)) / jnp.maximum(
         sqrt_denom * sqrt_denom, 1e-20)
-    pdf = mf.pdf_wh(dist, wo, wh, alpha, alpha) * dhdi
+    pdf = mf.pdf_wh(dist, wo, wh, alpha, alpha, dists) * dhdi
     pdf = jnp.where(bad, 1.0, pdf)
     return jnp.where(wo[..., 2] * wi[..., 2] > 0.0, 0.0, pdf)
 
 
-def _ashikhmin_pdf(alpha, dist, wo, wi):
+def _ashikhmin_pdf(alpha, dist, wo, wi, dists=None):
     wh = normalize(wo + wi)
-    p = mf.pdf_wh(dist, wo, wh, alpha, alpha) / (4.0 * dot(wo, wh))
+    p = mf.pdf_wh(dist, wo, wh, alpha, alpha, dists) \
+        / (4.0 * dot(wo, wh))
     p = jnp.where(jnp.isfinite(p), p, 0.0)
     pdf = 0.5 * (p + jnp.abs(frame.cos_theta(wi)) * INV_PI)
     return jnp.where(wo[..., 2] * wi[..., 2] < 0.0, 0.0, pdf)
 
 
-def slot_pdf(stype, p0, p1, p2, dist, wo, wi, present=None):
+def slot_pdf(stype, p0, p1, p2, dist, wo, wi, present=None,
+             dist_sets=None):
     zero = jnp.zeros(stype.shape, jnp.float32)
+    fd = lambda *ts: _fam_dists(dist_sets, *ts)
     fams = (
         (T_LAMBERT_R, lambda: _cos_pdf_same(wo, wi)),
         (T_OREN_NAYAR, lambda: _cos_pdf_same(wo, wi)),
         (T_LAMBERT_T, lambda: _cos_pdf_opposite(wo, wi)),
-        (T_TS_R, lambda: _ts_r_pdf(p0, dist, wo, wi)),
-        (T_TS_T, lambda: _ts_t_pdf(p0, p1, p2, dist, wo, wi)),
-        (T_ASHIKHMIN, lambda: _ashikhmin_pdf(p0, dist, wo, wi)),
+        (T_TS_R, lambda: _ts_r_pdf(p0, dist, wo, wi, fd(T_TS_R))),
+        (T_TS_T, lambda: _ts_t_pdf(p0, p1, p2, dist, wo, wi,
+                                   fd(T_TS_T))),
+        (T_ASHIKHMIN, lambda: _ashikhmin_pdf(p0, dist, wo, wi,
+                                             fd(T_ASHIKHMIN))),
     )
     out = zero
     for t, fn in fams:
@@ -295,7 +324,8 @@ def slot_pdf(stype, p0, p1, p2, dist, wo, wi, present=None):
 # per-slot sampling
 # ---------------------------------------------------------------------------
 
-def slot_sample(stype, c0, c1, p0, p1, p2, dist, wo, u, present=None):
+def slot_sample(stype, c0, c1, p0, p1, p2, dist, wo, u, present=None,
+                dist_sets=None):
     """Sample wi for one slot column; returns (f [N,3], wi [N,3],
     pdf [N], sampled_kind [N] int32).  u is the *raw* 2D sample, not
     remapped after slot selection (reference quirk).  present:
@@ -374,17 +404,20 @@ def slot_sample(stype, c0, c1, p0, p1, p2, dist, wo, u, present=None):
                       TRANSMISSION | SPECULAR))
 
     # --- Torrance-Sparrow reflection / transmission ----------------------
+    fd = lambda *ts: _fam_dists(dist_sets, *ts)
     if has(T_TS_R, T_TS_T):
-        wh_r = sg(mf.sample_wh(dist, wo, u, p0, p0))
+        wh_r = sg(mf.sample_wh(dist, wo, u, p0, p0,
+                               fd(T_TS_R, T_TS_T)))
     if has(T_TS_R):
         wi_tsr = sg(normalize(
             2.0 * dot(wo, wh_r, keepdims=True) * wh_r - wo))
-        pdf_tsr = mf.pdf_wh(dist, wo, wh_r, p0, p0) \
+        pdf_tsr = mf.pdf_wh(dist, wo, wh_r, p0, p0, fd(T_TS_R)) \
             / (4.0 * dot(wo, wh_r))
         pdf_tsr = jnp.where(jnp.isfinite(pdf_tsr), pdf_tsr, 0.0)
         f_tsr = jnp.where(
             (wo[..., 2] * wi_tsr[..., 2] <= 0.0)[..., None],
-            0.0, _ts_r_eval(c0, p0, p1, p2, dist, wo, wi_tsr))
+            0.0, _ts_r_eval(c0, p0, p1, p2, dist, wo, wi_tsr,
+                            fd(T_TS_R)))
         table[T_TS_R] = (f_tsr, wi_tsr, pdf_tsr,
                          jnp.full((n,), KIND_OF_TYPE[T_TS_R], jnp.int32))
     if has(T_TS_T):
@@ -393,10 +426,12 @@ def slot_sample(stype, c0, c1, p0, p1, p2, dist, wo, u, present=None):
         wi_tst, ok_tst = frame.refract(wo, wh_r, sg(eta_tst))
         wi_tst = sg(wi_tst)
         pdf_tst = jnp.where(
-            ok_tst, _ts_t_pdf(p0, p1, p2, dist, wo, wi_tst), 0.0)
+            ok_tst, _ts_t_pdf(p0, p1, p2, dist, wo, wi_tst,
+                              fd(T_TS_T)), 0.0)
         f_tst = jnp.where(
             ok_tst[..., None],
-            _ts_t_eval(c0, p0, p1, p2, dist, wo, wi_tst), 0.0)
+            _ts_t_eval(c0, p0, p1, p2, dist, wo, wi_tst,
+                       fd(T_TS_T)), 0.0)
         table[T_TS_T] = (f_tst, wi_tst, pdf_tst,
                          jnp.full((n,), KIND_OF_TYPE[T_TS_T], jnp.int32))
 
@@ -412,7 +447,8 @@ def slot_sample(stype, c0, c1, p0, p1, p2, dist, wo, u, present=None):
         u_diff = jnp.stack(
             [jnp.clip((1.0 - ux) * 2.0, 0.0, 0.999999), u[..., 1]],
             axis=-1)
-        wh_a = sg(mf.sample_wh(dist, wo, u_spec, p0, p0))
+        wh_a = sg(mf.sample_wh(dist, wo, u_spec, p0, p0,
+                               fd(T_ASHIKHMIN)))
         wi_as = sg(normalize(
             2.0 * dot(wo, wh_a, keepdims=True) * wh_a - wo))
         wi_ad_raw = sample_cosw_hemisphere(u_diff)
@@ -422,9 +458,10 @@ def slot_sample(stype, c0, c1, p0, p1, p2, dist, wo, u, present=None):
                           wi_ad_raw)
         wi_ash = jnp.where(spec_path[..., None], wi_as, wi_ad)
         bad_spec = spec_path & (wo[..., 2] * wi_ash[..., 2] <= 0.0)
-        pdf_ash = _ashikhmin_pdf(p0, dist, wo, wi_ash)
+        pdf_ash = _ashikhmin_pdf(p0, dist, wo, wi_ash, fd(T_ASHIKHMIN))
         f_ash = jnp.where(bad_spec[..., None], 0.0,
-                          _ashikhmin_eval(c0, c1, p0, dist, wo, wi_ash))
+                          _ashikhmin_eval(c0, c1, p0, dist, wo, wi_ash,
+                                          fd(T_ASHIKHMIN)))
         table[T_ASHIKHMIN] = (
             f_ash, wi_ash, pdf_ash,
             jnp.full((n,), KIND_OF_TYPE[T_ASHIKHMIN], jnp.int32))
@@ -512,7 +549,7 @@ def bsdf_evaluate(b: BsdfSlots, wow, wiw, types: int = ALL):
             (is_refl & ((kindk & REFLECTION) != 0))
             | (~is_refl & ((kindk & TRANSMISSION) != 0)))
         fk = slot_eval(stype, c0, c1, p0, p1, p2, dist, wo, wi,
-                       present=pres)
+                       present=pres, dist_sets=b.dists)
         f = f + jnp.where(sel[..., None], fk, 0.0)
         kinds = kinds | jnp.where(sel, kindk & types, 0)
     return f, kinds
@@ -530,7 +567,8 @@ def bsdf_pdf(b: BsdfSlots, wow, wiw, types: int = ALL):
             continue
         stype, c0, c1, p0, p1, p2, dist = _slot_col(b, k)
         m = (b.kind[:, k] & types) != 0
-        pk = slot_pdf(stype, p0, p1, p2, dist, wo, wi, present=pres)
+        pk = slot_pdf(stype, p0, p1, p2, dist, wo, wi, present=pres,
+                      dist_sets=b.dists)
         total = total + jnp.where(m, jnp.maximum(pk, 0.0), 0.0)
         count = count + m.astype(jnp.int32)
     pdf = jnp.where(count > 0, total / jnp.maximum(count, 1), total)
@@ -558,8 +596,9 @@ def bsdf_eval_pdf(b: BsdfSlots, wow, wiw, types: int = ALL):
         sel = m & ((is_refl & ((kindk & REFLECTION) != 0))
                    | (~is_refl & ((kindk & TRANSMISSION) != 0)))
         fk = slot_eval(stype, c0, c1, p0, p1, p2, dist, wo, wi,
-                       present=pres)
-        pk = slot_pdf(stype, p0, p1, p2, dist, wo, wi, present=pres)
+                       present=pres, dist_sets=b.dists)
+        pk = slot_pdf(stype, p0, p1, p2, dist, wo, wi, present=pres,
+                      dist_sets=b.dists)
         f = f + jnp.where(sel[..., None], fk, 0.0)
         total = total + jnp.where(m, jnp.maximum(pk, 0.0), 0.0)
         count = count + m.astype(jnp.int32)
@@ -606,7 +645,8 @@ def bsdf_sample(b: BsdfSlots, wow, u, types: int = ALL):
     stype = take(b.type)
     f, wi, pdf, skind = slot_sample(
         stype, take3(b.c0), take3(b.c1), take(b.p0), take(b.p1),
-        take(b.p2), take(b.dist), wo, u, present=b.any_present())
+        take(b.p2), take(b.dist), wo, u, present=b.any_present(),
+        dist_sets=b.dists)
     skind = skind & types
     is_spec = (take(b.kind) & SPECULAR) != 0
 
@@ -637,8 +677,9 @@ def bsdf_sample(b: BsdfSlots, wow, u, types: int = ALL):
             (is_refl & ((kindk & REFLECTION) != 0))
             | (~is_refl & ((kindk & TRANSMISSION) != 0)))
         fk = slot_eval(stype_k, c0, c1, p0, p1, p2, dist, wo, wi,
-                       present=pres)
-        pk = slot_pdf(stype_k, p0, p1, p2, dist, wo, wi, present=pres)
+                       present=pres, dist_sets=b.dists)
+        pk = slot_pdf(stype_k, p0, p1, p2, dist, wo, wi, present=pres,
+                      dist_sets=b.dists)
         f_acc = f_acc + jnp.where(sel[..., None], fk, 0.0)
         pdf_acc = pdf_acc + jnp.where(sel, jnp.maximum(pk, 0.0), 0.0)
     f_out = jnp.where(multi[..., None], f_acc, f)

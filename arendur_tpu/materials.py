@@ -234,6 +234,30 @@ def resolve_params(table: MaterialTable, mat_id, ns, ng, dpdu,
     return mtype, kd, ks, sigma, roughness, eta, dissolve, ns, dpdu
 
 
+def dist_presence(table: MaterialTable):
+    """Static per-family microfacet-distribution sets (BsdfSlots.dists):
+    the recipes only ever place Trowbridge in the glass TS slots,
+    Beckmann in plastic's Ashikhmin and Trowbridge in translucent's —
+    so single-model families drop the other model's code entirely
+    (e.g. the Beckmann Newton solver vanishes from the TS sweeps)."""
+    try:
+        mtype = np.asarray(table.mtype)
+    except Exception:
+        return None
+    out = {}
+    if (mtype == M_GLASS).any():
+        out[T_TS_R] = (D_TROWBRIDGE,)
+        out[T_TS_T] = (D_TROWBRIDGE,)
+    as_d = set()
+    if (mtype == M_PLASTIC).any():
+        as_d.add(D_BECKMANN)
+    if (mtype == M_TRANSLUCENT).any():
+        as_d.add(D_TROWBRIDGE)
+    if as_d:
+        out[T_ASHIKHMIN] = tuple(sorted(as_d))
+    return tuple(sorted(out.items()))
+
+
 def compute_scattering(table: MaterialTable, mat_id, ns, ng, dpdu,
                        uv=None, textures=None, dpdv=None,
                        duvdx=None, duvdy=None,
@@ -251,12 +275,13 @@ def compute_scattering(table: MaterialTable, mat_id, ns, ng, dpdu,
                        textures=textures, dpdv=dpdv, duvdx=duvdx,
                        duvdy=duvdy, tex_filter=tex_filter)
     return build_slots(mtype, kd, ks, sigma, roughness, eta, dissolve,
-                       ns, ng, dpdu, presence)
+                       ns, ng, dpdu, presence,
+                       dist_sets=dist_presence(table))
 
 
 def build_slots(mtype, kd, ks, sigma, roughness, eta, dissolve,
                 ns, ng, dpdu, presence=None,
-                flat_colors: bool = False) -> BsdfSlots:
+                flat_colors: bool = False, dist_sets=None) -> BsdfSlots:
     """The material recipe: resolved per-lane parameters -> BSDF slot
     table (the post-texture half of compute_scattering).  Pure
     elementwise jnp, shared verbatim by the XLA path and the Pallas
@@ -368,4 +393,4 @@ def build_slots(mtype, kd, ks, sigma, roughness, eta, dissolve,
         p0=jnp.stack(kp0, 1), p1=jnp.stack(kp1, 1),
         p2=jnp.stack(kp2, 1),
         dist=jnp.stack(kdist, 1),
-        present=presence)
+        present=presence, dists=dist_sets)

@@ -170,6 +170,7 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
     if use_mega:
         from arendur_tpu import materials as _mats
         mega_presence = _mats.slot_presence(scene.materials)
+        mega_dists = _mats.dist_presence(scene.materials)
         # bake the packed light table + its column map HERE, from the
         # NumPy scene: inside the trace light_pack cannot host-check
         # the light types (tracer leaves) and would emit a DIFFERENT
@@ -286,8 +287,9 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
             ], axis=1)
             with jax.named_scope("pt_shade_mega"):
                 out = pb.bounce_shade(
-                    x, mega_presence, mega_lcidx, mega_lpresent,
-                    config.min_depth, float(config.rr_threshold),
+                    x, mega_presence, mega_dists, mega_lcidx,
+                    mega_lpresent, config.min_depth,
+                    float(config.rr_threshold),
                     mega_full_phi, pb.default_interpret())
             r = pb.unpack_out(out)
             with jax.named_scope("pt_light_calculation"):

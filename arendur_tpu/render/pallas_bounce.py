@@ -40,7 +40,7 @@ from arendur_tpu.bxdf.types import ALL, ALL_NON_SPECULAR, SPECULAR
 from arendur_tpu.geometry.vec import dot, length2
 from arendur_tpu.lighting import nee
 
-_RN = 256
+_RN = 512
 _SCOPED_VMEM_BYTES = 10 << 20
 
 OUT_COLS = 32
@@ -84,8 +84,8 @@ _BOUNCE = 52
 _LROW0 = 53
 
 
-def _body(x, *, presence, lcidx, lpresent, min_depth, rr_threshold,
-          full_phi):
+def _body(x, *, presence, dist_sets, lcidx, lpresent, min_depth,
+          rr_threshold, full_phi):
     """Pure-jnp bounce shade over packed columns x [N, 53+Cl].
 
     Mirrors integrator.bounce_step steps (2)-(5) exactly; returns
@@ -134,7 +134,8 @@ def _body(x, *, presence, lcidx, lpresent, min_depth, rr_threshold,
     # (3) scattering + NEE
     wo = -d
     bsdf = mats.build_slots(mtype, kd, ks, sigma, rough, eta, dissolve,
-                            ns, ng, dpdu, presence, flat_colors=True)
+                            ns, ng, dpdu, presence, flat_colors=True,
+                            dist_sets=dist_sets)
     do_nee = lane_active & (sl.match_count(bsdf, ALL_NON_SPECULAR) > 0)
     ls = nee.light_sample_rows(lrow, cidx, lpresent, pos, u_light,
                                need_uv=False,
@@ -220,20 +221,20 @@ def _kernel(x_ref, o_ref, **cfg):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("presence", "lcidx", "lpresent",
-                              "min_depth", "rr_threshold", "full_phi",
-                              "interpret"))
-def _run(x, presence, lcidx, lpresent, min_depth, rr_threshold,
-         full_phi, interpret):
+    jax.jit, static_argnames=("presence", "dist_sets", "lcidx",
+                              "lpresent", "min_depth", "rr_threshold",
+                              "full_phi", "interpret"))
+def _run(x, presence, dist_sets, lcidx, lpresent, min_depth,
+         rr_threshold, full_phi, interpret):
     n = x.shape[0]
     pad = (-n) % _RN
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)], 0)
     np_ = x.shape[0]
     kern = functools.partial(
-        _kernel, presence=presence, lcidx=lcidx, lpresent=lpresent,
-        min_depth=min_depth, rr_threshold=rr_threshold,
-        full_phi=full_phi)
+        _kernel, presence=presence, dist_sets=dist_sets, lcidx=lcidx,
+        lpresent=lpresent, min_depth=min_depth,
+        rr_threshold=rr_threshold, full_phi=full_phi)
     per_lane = 4 * (x.shape[1] + OUT_COLS)
     max_lanes = max(_RN, (_SCOPED_VMEM_BYTES // per_lane) // _RN * _RN)
 
@@ -257,25 +258,26 @@ def _run(x, presence, lcidx, lpresent, min_depth, rr_threshold,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
-def bounce_shade(x, presence, lcidx, lpresent, min_depth, rr_threshold,
-                 full_phi, interpret=False):
+                   nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+def bounce_shade(x, presence, dist_sets, lcidx, lpresent, min_depth,
+                 rr_threshold, full_phi, interpret=False):
     """Kernelized bounce shade (see _body for the column contract)."""
-    return _run(x, presence, lcidx, lpresent, min_depth, rr_threshold,
-                full_phi, interpret)
+    return _run(x, presence, dist_sets, lcidx, lpresent, min_depth,
+                rr_threshold, full_phi, interpret)
 
 
-def _fwd(x, presence, lcidx, lpresent, min_depth, rr_threshold,
-         full_phi, interpret):
-    return bounce_shade(x, presence, lcidx, lpresent, min_depth,
-                        rr_threshold, full_phi, interpret), x
+def _fwd(x, presence, dist_sets, lcidx, lpresent, min_depth,
+         rr_threshold, full_phi, interpret):
+    return bounce_shade(x, presence, dist_sets, lcidx, lpresent,
+                        min_depth, rr_threshold, full_phi, interpret), x
 
 
-def _bwd(presence, lcidx, lpresent, min_depth, rr_threshold, full_phi,
-         interpret, x, ct):
+def _bwd(presence, dist_sets, lcidx, lpresent, min_depth, rr_threshold,
+         full_phi, interpret, x, ct):
     _, vjp = jax.vjp(
-        lambda x_: _body(x_, presence=presence, lcidx=lcidx,
-                         lpresent=lpresent, min_depth=min_depth,
+        lambda x_: _body(x_, presence=presence, dist_sets=dist_sets,
+                         lcidx=lcidx, lpresent=lpresent,
+                         min_depth=min_depth,
                          rr_threshold=rr_threshold, full_phi=full_phi),
         x)
     return vjp(ct)
@@ -284,10 +286,10 @@ def _bwd(presence, lcidx, lpresent, min_depth, rr_threshold, full_phi,
 bounce_shade.defvjp(_fwd, _bwd)
 
 
-def xla_reference(x, presence, lcidx, lpresent, min_depth,
+def xla_reference(x, presence, dist_sets, lcidx, lpresent, min_depth,
                   rr_threshold, full_phi):
     """The same body outside Pallas — the parity oracle and the
     backward-pass twin."""
-    return _body(x, presence=presence, lcidx=lcidx, lpresent=lpresent,
-                 min_depth=min_depth, rr_threshold=rr_threshold,
-                 full_phi=full_phi)
+    return _body(x, presence=presence, dist_sets=dist_sets,
+                 lcidx=lcidx, lpresent=lpresent, min_depth=min_depth,
+                 rr_threshold=rr_threshold, full_phi=full_phi)

@@ -65,7 +65,7 @@ def profile_trace(logdir: str):
 # XLA places a pallas custom-call's whole operands/results in scoped
 # VMEM when they fit its budget; with the intersect + shade kernels
 # co-live in one bounce body the default 16 MiB budget overflows.
-TPU_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "40960"}
+TPU_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
 
 
 def compile_tpu(jitted, *args, **kwargs):

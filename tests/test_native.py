@@ -71,12 +71,15 @@ class TestNativeBVH:
         t, idx, b0, b1 = intersect_bvh(bvh, v0, v1, v2,
                                        jnp.asarray(o), jnp.asarray(d), tmax)
         # brute force oracle
-        from arendur_tpu.accel.bvh import _tri_test_lanewise
+        from arendur_tpu.shapes.triangle import (
+            ray_shear, intersect_watertight_lanewise)
+        perm, shear = ray_shear(jnp.asarray(d))
         best_t = np.full(n, 1e30, np.float32)
         best_i = np.full(n, -1, np.int64)
         for k in range(len(v0)):
-            hit, tk, _, _ = _tri_test_lanewise(
+            hit, tk, _, _ = intersect_watertight_lanewise(
                 jnp.asarray(o), jnp.asarray(d), jnp.asarray(best_t),
+                perm, shear,
                 jnp.tile(v0[k], (n, 1)), jnp.tile(v1[k], (n, 1)),
                 jnp.tile(v2[k], (n, 1)))
             hit = np.asarray(hit)
