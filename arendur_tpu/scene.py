@@ -562,7 +562,9 @@ class SceneBuilder:
             thetamax=np.asarray(stmax, np.float32),
             phimax=np.asarray(sphim, np.float32),
             mat_id=np.asarray(smat, np.int32),
-            light_id=np.asarray(slight, np.int32))
+            light_id=np.asarray(slight, np.int32),
+            phi_full=bool((np.asarray(sphim, np.float32)
+                           >= 2.0 * np.pi - 1e-5).all()))
 
         # lights
         nl = max(1, len(self.light_rows))
@@ -641,6 +643,21 @@ class SceneBuilder:
 _GAMMA7 = 7.0 * 2.0 ** -24 / (1.0 - 7.0 * 2.0 ** -24)
 
 
+def _kernel_spheres() -> bool:
+    """ARENDUR_SPHERES=kernel folds the analytic-sphere tests into the
+    Pallas intersect kernels.  Default OFF: measured end-to-end the
+    in-kernel block costs ~1.5-1.8 ms/launch while the XLA sphere ops
+    it replaces fuse into neighbouring work for ~free (DESIGN.md
+    §9.5) — kernelizing only pays for fusion-breaking ops."""
+    return os.environ.get("ARENDUR_SPHERES", "xla") == "kernel"
+
+
+def _pallas_interpret() -> bool:
+    """ARENDUR_PALLAS_INTERPRET=1: run the intersect kernels in
+    interpret mode (CPU parity tests of the TPU-forced paths)."""
+    return os.environ.get("ARENDUR_PALLAS_INTERPRET", "0") == "1"
+
+
 def _use_pallas_intersect() -> bool:
     """Use the fused Pallas closest/any-hit kernel on real TPU backends;
     ARENDUR_INTERSECT=pallas|mxu forces a path (mxu = plain-XLA matmul,
@@ -686,13 +703,25 @@ def intersect(scene: SceneData, o, d, tmax=None, n_alive=None) -> Hit:
     if tmax is None:
         tmax = jnp.full((n,), jnp.inf, jnp.float32)
 
+    ksph = False          # spheres folded into the pallas kernel?
     if scene.tri_cw is not None:
         k = scene.tri_cw.shape[-1] // 4
         if _use_pallas_intersect():
             from arendur_tpu.shapes import pallas_intersect as pli
-            t_tri, slot = pli.intersect_clusters(
+            # optionally test analytic spheres INSIDE the closest-hit
+            # kernel (slot <= -2 encodes sphere -(slot+2))
+            ksph = _kernel_spheres()
+            tab = sph.kernel_table(scene.spheres) if ksph else None
+            t_k, slot = pli.intersect_clusters(
                 scene.tri_cw, scene.tri_cbox, o, d, tmax,
-                n_alive=n_alive)
+                n_alive=n_alive, sph_tab=tab,
+                full_phi=scene.spheres.phi_full,
+                interpret=_pallas_interpret())
+            t_tri = jnp.where(slot >= 0, t_k, jnp.inf)
+            if ksph:
+                sph_hit_k = slot <= -2
+                t_sph_k = jnp.where(sph_hit_k, t_k, jnp.inf)
+                s_idx_k = jnp.where(sph_hit_k, -(slot + 2), 0)
         else:
             t_tri, slot, _, _ = mxi.intersect_mxu(
                 scene.tri_cw, o, d, tmax,
@@ -786,7 +815,8 @@ def intersect(scene: SceneData, o, d, tmax=None, n_alive=None) -> Hit:
             from arendur_tpu.shapes import pallas_intersect as pli
             t_f, slot_f = pli.intersect_clusters(
                 im.cw, im.cbox, ol, dl, bound_b,
-                n_alive=n_alive, period=n)
+                n_alive=n_alive, period=n,
+                interpret=_pallas_interpret())
         else:
             ki = im.cw.shape[-1] // 4
             t_f, slot_f, _, _ = mxi.intersect_mxu(
@@ -841,16 +871,34 @@ def intersect(scene: SceneData, o, d, tmax=None, n_alive=None) -> Hit:
         prim_tri = sel1(prim_base + li, prim_tri)
         prim_base += T_m
 
-    sp = sph.intersect_spheres(scene.spheres, o, d,
-                               jnp.minimum(tmax, t_tri))
-    use_sphere = sp["hit"]  # already closer than t_tri via tmax clamp
+    if ksph:
+        # sphere results came from the closest-hit kernel; the sphere
+        # wins ties (<=) exactly like the old tmax-clamped XLA test
+        use_sphere = sph_hit_k & (t_sph_k <= t_tri)
+        t = jnp.where(use_sphere, t_sph_k, t_tri)
+        s_idx = jnp.maximum(s_idx_k, 0)
+        # reconstruct the winning sphere's local hit point (same
+        # refinement ops as the in-kernel accept, sphere.refine_p_local)
+        w2o16 = jnp.asarray(scene.spheres.w2o).reshape(-1, 16)
+        srow = jnp.concatenate(
+            [w2o16, jnp.asarray(scene.spheres.radius)[:, None]],
+            axis=1)[s_idx]
+        from arendur_tpu.lighting.nee import _tp16, _tv16
+        ol = _tp16(srow[:, 0:16], o)
+        dl = _tv16(srow[:, 0:16], d)
+        p_local = sph.refine_p_local(ol, dl, t_sph_k, srow[:, 16])
+    else:
+        sp = sph.intersect_spheres(scene.spheres, o, d,
+                                   jnp.minimum(tmax, t_tri))
+        use_sphere = sp["hit"]  # closer than t_tri via tmax clamp
+        t = jnp.where(use_sphere, sp["t"], t_tri)
+        s_idx = jnp.maximum(sp["sphere_idx"], 0)
+        p_local = sp["p_local"]
     any_hit = tri_hit | use_sphere
-    t = jnp.where(use_sphere, sp["t"], t_tri)
 
     # --- sphere shading info ---
-    s_idx = jnp.maximum(sp["sphere_idx"], 0)
     pos_s, ng_s, uv_s, dpdu_s, dpdv_s, perr_s = sph.sphere_hit_info(
-        scene.spheres, s_idx, sp["p_local"])
+        scene.spheres, s_idx, p_local)
     mat_s = scene.spheres.mat_id[s_idx]
     light_s = scene.spheres.light_id[s_idx]
 
@@ -858,7 +906,7 @@ def intersect(scene: SceneData, o, d, tmax=None, n_alive=None) -> Hit:
     pick1 = lambda a, b: jnp.where(use_sphere, a, b)
     prim = jnp.where(
         any_hit,
-        pick1(scene.n_tris + jnp.maximum(sp["sphere_idx"], 0), prim_tri),
+        pick1(scene.n_tris + s_idx, prim_tri),
         -1).astype(jnp.int32)
 
     # miss lanes get a benign default interaction so no garbage (or
@@ -888,13 +936,19 @@ def occluded(scene: SceneData, o, d, tmax, n_alive=None) -> jnp.ndarray:
     """Any-hit query for shadow rays."""
     from arendur_tpu.geometry.vec import as_jax
     scene = as_jax(scene)
+    ksph = False
     if scene.tri_cw is not None:
         k = scene.tri_cw.shape[-1] // 4
         if _use_pallas_intersect():
             from arendur_tpu.shapes import pallas_intersect as pli
+            ksph = _kernel_spheres()
             blocked_t = pli.occluded_clusters(
                 scene.tri_cw, scene.tri_cbox, o, d, tmax,
-                n_alive=n_alive)
+                n_alive=n_alive,
+                sph_tab=sph.kernel_table(scene.spheres) if ksph
+                else None,
+                full_phi=scene.spheres.phi_full,
+                interpret=_pallas_interpret())
         else:
             blocked_t = mxi.occluded_mxu(
                 scene.tri_cw, o, d, tmax,
@@ -922,12 +976,15 @@ def occluded(scene: SceneData, o, d, tmax, n_alive=None) -> jnp.ndarray:
             from arendur_tpu.shapes import pallas_intersect as pli
             blk = pli.occluded_clusters(
                 im.cw, im.cbox, ol, dl, tmax_b,
-                n_alive=n_alive, period=n)
+                n_alive=n_alive, period=n,
+                interpret=_pallas_interpret())
         else:
             ki = im.cw.shape[-1] // 4
             blk = mxi.occluded_mxu(
                 im.cw, ol, dl, tmax_b, im.cw.shape[0] * ki, chunk=ki)
         blocked_t = blocked_t | jnp.any(blk.reshape(I, n), axis=0)
+    if ksph:
+        return blocked_t
     sp = sph.intersect_spheres(scene.spheres, o, d, tmax)
     return blocked_t | sp["hit"]
 

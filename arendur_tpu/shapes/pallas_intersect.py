@@ -47,6 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from arendur_tpu.shapes.mxu_intersect import ray_features
+from arendur_tpu.shapes import sphere as sph
 
 _BIG = 3.0e38
 _G3 = 3.0 * 2.0 ** -24 / (1.0 - 3.0 * 2.0 ** -24)
@@ -98,16 +99,62 @@ def _accept(quad, aux, best_t, k: int):
     return ok & okb & okt, t
 
 
-def _closest_kernel(feats_ref, aux_ref, cbox_ref, w_ref, out_ref, *,
-                    k: int, rn: int):
+def _sphere_best(feats, aux, sph_ref, n_sph: int, full_phi: bool,
+                 rn: int):
+    """Closest sphere hit per ray tile: (best_t [RN,1], code [RN,1]).
+
+    code = -(2+s) for a hit on sphere s, -1 for miss.  Reuses
+    sphere._intersect_local verbatim so accepts match the XLA sphere
+    path bit-for-bit.  sph row layout: w2o(16) radius zmin zmax phimax
+    (+4 pad); unrolled over the (small, static) sphere count."""
+    o = feats[:, 0:3]
+    d = feats[:, 3:6]
+    tmax = aux[:, 0]
+    best = tmax
+    code = jnp.full((rn,), -1.0, jnp.float32)
+    for si in range(n_sph):
+        m = lambda c: sph_ref[si, c]
+        ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+        dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+        olx = ox * m(0) + oy * m(4) + oz * m(8) + m(12)
+        oly = ox * m(1) + oy * m(5) + oz * m(9) + m(13)
+        olz = ox * m(2) + oy * m(6) + oz * m(10) + m(14)
+        ow = ox * m(3) + oy * m(7) + oz * m(11) + m(15)
+        inv_w = 1.0 / jnp.where(jnp.abs(ow) < 1e-20, 1.0, ow)
+        ol = jnp.stack([olx * inv_w, oly * inv_w, olz * inv_w], -1)
+        dl = jnp.stack([
+            dx * m(0) + dy * m(4) + dz * m(8),
+            dx * m(1) + dy * m(5) + dz * m(9),
+            dx * m(2) + dy * m(6) + dz * m(10)], -1)
+        hit, t, _ = sph._intersect_local(
+            ol, dl, tmax, m(16), m(17), m(18), m(19),
+            skip_phi_clip=full_phi)
+        better = hit & (t < best)
+        best = jnp.where(better, t, best)
+        code = jnp.where(better, jnp.float32(-(2 + si)), code)
+    return best[:, None], code[:, None]
+
+
+def _closest_kernel(feats_ref, aux_ref, cbox_ref, w_ref, sph_ref,
+                    out_ref, *, k: int, rn: int, n_sph: int,
+                    full_phi: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
-        out_ref[:] = jnp.concatenate(
-            [aux_ref[:, 0:1], jnp.full((rn, 1), -1.0, jnp.float32),
-             jnp.zeros((rn, 6), jnp.float32)], axis=1)
+        if n_sph:
+            # analytic spheres tested once per tile; clusters then
+            # prune against the sphere-bounded best t (the XLA sphere
+            # intersector used to run as ~40 separate fixed-cost ops)
+            sb, scode = _sphere_best(feats_ref[:], aux_ref[:], sph_ref,
+                                     n_sph, full_phi, rn)
+            out_ref[:] = jnp.concatenate(
+                [sb, scode, jnp.zeros((rn, 6), jnp.float32)], axis=1)
+        else:
+            out_ref[:] = jnp.concatenate(
+                [aux_ref[:, 0:1], jnp.full((rn, 1), -1.0, jnp.float32),
+                 jnp.zeros((rn, 6), jnp.float32)], axis=1)
 
     best_t = out_ref[:, 0:1]
     n_alive = aux_ref[0, 2].astype(jnp.int32)
@@ -145,14 +192,21 @@ def _closest_kernel(feats_ref, aux_ref, cbox_ref, w_ref, out_ref, *,
              jnp.zeros((rn, 6), jnp.float32)], axis=1)
 
 
-def _anyhit_kernel(feats_ref, aux_ref, cbox_ref, w_ref, out_ref, *,
-                   k: int, rn: int):
+def _anyhit_kernel(feats_ref, aux_ref, cbox_ref, w_ref, sph_ref,
+                   out_ref, *, k: int, rn: int, n_sph: int,
+                   full_phi: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
-        out_ref[:] = jnp.zeros((rn, 8), jnp.float32)
+        if n_sph:
+            _, scode = _sphere_best(feats_ref[:], aux_ref[:], sph_ref,
+                                    n_sph, full_phi, rn)
+            out_ref[:] = jnp.broadcast_to(
+                jnp.where(scode != -1.0, 1.0, 0.0), (rn, 8))
+        else:
+            out_ref[:] = jnp.zeros((rn, 8), jnp.float32)
 
     blocked = out_ref[:, 0:1] > 0.5
     n_alive = aux_ref[0, 2].astype(jnp.int32)
@@ -189,18 +243,23 @@ def _pad_rays(feats, aux, rn):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "anyhit", "interpret"))
-def _run(w_clusters, cbox, feats, aux, k: int, anyhit: bool,
-         interpret: bool):
+    jax.jit, static_argnames=("k", "anyhit", "n_sph", "full_phi",
+                              "interpret"))
+def _run(w_clusters, cbox, feats, aux, sph_tab, k: int, anyhit: bool,
+         n_sph: int, full_phi: bool, interpret: bool):
     c = w_clusters.shape[0]
     rn = _RAY_TILE
     feats, aux, n = _pad_rays(feats, aux, rn)
     np_ = feats.shape[0]
     w_flat = w_clusters.reshape(c * 16, 4 * k)
+    if sph_tab is None:
+        sph_tab = jnp.zeros((1, 24), jnp.float32)
+    ns_rows = sph_tab.shape[0]
 
     kern = _anyhit_kernel if anyhit else _closest_kernel
     out = pl.pallas_call(
-        functools.partial(kern, k=k, rn=rn),
+        functools.partial(kern, k=k, rn=rn, n_sph=n_sph,
+                          full_phi=full_phi),
         grid=(np_ // rn, c),
         in_specs=[
             pl.BlockSpec((rn, 16), lambda i, j: (i, 0),
@@ -210,6 +269,8 @@ def _run(w_clusters, cbox, feats, aux, k: int, anyhit: bool,
             pl.BlockSpec((c, 8), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, 4 * k), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns_rows, 24), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rn, 8), lambda i, j: (i, 0),
@@ -221,7 +282,7 @@ def _run(w_clusters, cbox, feats, aux, k: int, anyhit: bool,
             + np_ * (16 + 8 + 8) * 4,
             transcendentals=0),
         interpret=interpret,
-    )(feats, aux, cbox, w_flat)
+    )(feats, aux, cbox, w_flat, sph_tab)
     return out[:n]
 
 
@@ -249,11 +310,15 @@ def _make_aux(o, tmax, n_alive, period: int = 0):
 
 
 def intersect_clusters(w_clusters, cbox, o, d, tmax, n_alive=None,
-                       period: int = 0, interpret: bool = False):
-    """Closest hit of N rays against the cluster tables.
+                       period: int = 0, sph_tab=None,
+                       full_phi: bool = False,
+                       interpret: bool = False):
+    """Closest hit of N rays against the cluster tables (+ optional
+    analytic spheres tested in the same kernel).
 
     Returns (t [N], slot [N] int32): slot = cluster*K + lane into the
-    cluster layout (-1 = miss; remap to tri ids via clusters.remap).
+    cluster layout; -1 = miss; -(2+s) = hit on sphere s of sph_tab
+    (row layout w2o(16) radius zmin zmax phimax pad4).
     Rays at positions >= n_alive are reported as misses.
     """
     w_clusters = jnp.asarray(w_clusters)
@@ -261,19 +326,29 @@ def intersect_clusters(w_clusters, cbox, o, d, tmax, n_alive=None,
     k = w_clusters.shape[-1] // 4
     feats = ray_features(o, d)
     aux = _make_aux(o, tmax, n_alive, period)
-    out = _run(w_clusters, cbox, feats, aux, k, False, interpret)
+    n_sph = 0 if sph_tab is None else sph_tab.shape[0]
+    if sph_tab is not None:
+        sph_tab = jnp.asarray(sph_tab)
+    out = _run(w_clusters, cbox, feats, aux, sph_tab, k, False,
+               n_sph, full_phi, interpret)
     slot = out[:, 1].astype(jnp.int32)
-    t = jnp.where(slot < 0, tmax, out[:, 0])
+    t = jnp.where(slot == -1, tmax, out[:, 0])
     return t, slot
 
 
 def occluded_clusters(w_clusters, cbox, o, d, tmax, n_alive=None,
-                      period: int = 0, interpret: bool = False):
+                      period: int = 0, sph_tab=None,
+                      full_phi: bool = False,
+                      interpret: bool = False):
     """Any-hit within (0, tmax); rays >= n_alive report unblocked."""
     w_clusters = jnp.asarray(w_clusters)
     cbox = jnp.asarray(cbox)
     k = w_clusters.shape[-1] // 4
     feats = ray_features(o, d)
     aux = _make_aux(o, tmax, n_alive, period)
-    out = _run(w_clusters, cbox, feats, aux, k, True, interpret)
+    n_sph = 0 if sph_tab is None else sph_tab.shape[0]
+    if sph_tab is not None:
+        sph_tab = jnp.asarray(sph_tab)
+    out = _run(w_clusters, cbox, feats, aux, sph_tab, k, True,
+               n_sph, full_phi, interpret)
     return out[:, 0] > 0.5

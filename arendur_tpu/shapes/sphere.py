@@ -45,10 +45,26 @@ class SphereSoA:
     phimax: jnp.ndarray    # [S]
     mat_id: jnp.ndarray    # [S] int32
     light_id: jnp.ndarray  # [S] int32, -1 if not emissive
+    # host-static: every sphere is full-phi (set at build(); the
+    # Pallas intersect kernel skips the phi clip statically)
+    phi_full: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def count(self):
         return self.radius.shape[0]
+
+
+def kernel_table(spheres: "SphereSoA"):
+    """[S,24] packed rows for the Pallas intersect kernels:
+    w2o(16) radius zmin zmax phimax pad(4)."""
+    w2o = jnp.asarray(spheres.w2o).reshape(-1, 16)
+    cols = [w2o,
+            jnp.asarray(spheres.radius)[:, None],
+            jnp.asarray(spheres.zmin)[:, None],
+            jnp.asarray(spheres.zmax)[:, None],
+            jnp.asarray(spheres.phimax)[:, None],
+            jnp.zeros((w2o.shape[0], 4), jnp.float32)]
+    return jnp.concatenate(cols, axis=1)
 
 
 def make_sphere_params(radius, zmin, zmax, phimax):
@@ -61,6 +77,20 @@ def make_sphere_params(radius, zmin, zmax, phimax):
     thetamin = float(np.arccos(np.clip(zmin / radius, -1, 1)))
     thetamax = float(np.arccos(np.clip(zmax / radius, -1, 1)))
     return radius, zmin, zmax, thetamin, thetamax, phimax
+
+
+def refine_p_local(o, d, t, radius):
+    """Local hit point refined to the surface (sphere.rs:233-238);
+    shared by _intersect_local and the Pallas intersect kernel's
+    sphere block (the outside p_local reconstruction must be
+    bit-identical to the in-test clip decisions).  radius may be a
+    scalar or per-lane [N]."""
+    p = o + t[..., None] * d
+    r_col = jnp.broadcast_to(jnp.asarray(radius), t.shape)[..., None]
+    p = p * (r_col / jnp.maximum(length(p, keepdims=True), 1e-20))
+    degenerate = (p[..., 0] == 0.0) & (p[..., 1] == 0.0)
+    px = jnp.where(degenerate, 1e-5 * r_col[..., 0], p[..., 0])
+    return jnp.stack([px, p[..., 1], p[..., 2]], axis=-1)
 
 
 def _intersect_local(o, d, tmax, radius, zmin, zmax, phimax,
@@ -87,14 +117,7 @@ def _intersect_local(o, d, tmax, radius, zmin, zmax, phimax,
     t = jnp.where(t0 > 0.0, t0, t1)
     ok = has_root & ~((t0 > tmax) | (t1 < 0.0)) & ~((t0 <= 0.0) & (t1 > tmax))
 
-    p = o + t[..., None] * d
-    # refine to the surface (sphere.rs:233-238); radius may be a
-    # scalar (vmapped per-sphere path) or per-lane [N]
-    r_col = jnp.broadcast_to(jnp.asarray(radius), t.shape)[..., None]
-    p = p * (r_col / jnp.maximum(length(p, keepdims=True), 1e-20))
-    degenerate = (p[..., 0] == 0.0) & (p[..., 1] == 0.0)
-    px = jnp.where(degenerate, 1e-5 * r_col[..., 0], p[..., 0])
-    p = jnp.stack([px, p[..., 1], p[..., 2]], axis=-1)
+    p = refine_p_local(o, d, t, radius)
 
     clipped = (p[..., 2] < zmin) | (p[..., 2] > zmax)
     if not skip_phi_clip:
