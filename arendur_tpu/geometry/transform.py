@@ -53,6 +53,30 @@ def transform_point(m, p):
     return out / w[..., None]
 
 
+def transform_point_row16(m, p):
+    """Row-vector point transform by per-lane [N,16] flattened
+    matrices (cgmath row-layout), homogeneous divide included.
+    Column math instead of [N,4,4] vmaps: shared with the Pallas
+    kernels, where 3-D arrays don't lower."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    ox = x * m[:, 0] + y * m[:, 4] + z * m[:, 8] + m[:, 12]
+    oy = x * m[:, 1] + y * m[:, 5] + z * m[:, 9] + m[:, 13]
+    oz = x * m[:, 2] + y * m[:, 6] + z * m[:, 10] + m[:, 14]
+    w = x * m[:, 3] + y * m[:, 7] + z * m[:, 11] + m[:, 15]
+    inv = 1.0 / jnp.where(jnp.abs(w) < 1e-20, 1.0, w)
+    return jnp.stack([ox * inv, oy * inv, oz * inv], -1)
+
+
+def transform_vector_row16(m, v):
+    """Direction transform (no translation, no divide) by per-lane
+    [N,16] flattened matrices."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack([
+        x * m[:, 0] + y * m[:, 4] + z * m[:, 8],
+        x * m[:, 1] + y * m[:, 5] + z * m[:, 9],
+        x * m[:, 2] + y * m[:, 6] + z * m[:, 10]], -1)
+
+
 def transform_vector(m, v):
     """Apply m to direction vectors (no translation, no divide);
     m may be batched (see transform_point)."""

@@ -76,27 +76,9 @@ def _sample_sphere_local_row(radius, zmin, zmax, thetamin, thetamax,
     return p, nrm, 1.0 / area
 
 
-def _tp16(m, p):
-    """Row-vector point transform by per-lane [N,16] matrices (cgmath
-    row-layout, see geometry.transform), homogeneous divide included.
-    Column math instead of [N,4,4] vmaps: shared with the Pallas bounce
-    kernel, where 3-D arrays don't lower."""
-    x, y, z = p[..., 0], p[..., 1], p[..., 2]
-    ox = x * m[:, 0] + y * m[:, 4] + z * m[:, 8] + m[:, 12]
-    oy = x * m[:, 1] + y * m[:, 5] + z * m[:, 9] + m[:, 13]
-    oz = x * m[:, 2] + y * m[:, 6] + z * m[:, 10] + m[:, 14]
-    w = x * m[:, 3] + y * m[:, 7] + z * m[:, 11] + m[:, 15]
-    inv = 1.0 / jnp.where(jnp.abs(w) < 1e-20, 1.0, w)
-    return jnp.stack([ox * inv, oy * inv, oz * inv], -1)
-
-
-def _tv16(m, v):
-    """Direction transform (no translation, no divide)."""
-    x, y, z = v[..., 0], v[..., 1], v[..., 2]
-    return jnp.stack([
-        x * m[:, 0] + y * m[:, 4] + z * m[:, 8],
-        x * m[:, 1] + y * m[:, 5] + z * m[:, 9],
-        x * m[:, 2] + y * m[:, 6] + z * m[:, 10]], -1)
+# row-matrix transforms shared with the Pallas kernels
+_tp16 = tf.transform_point_row16
+_tv16 = tf.transform_vector_row16
 
 
 def light_sample(scene: sc.SceneData, lidx, pos, u2):

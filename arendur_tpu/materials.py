@@ -171,6 +171,27 @@ def slot_presence(table: MaterialTable):
     return tuple(tuple(sorted(c)) for c in cols)
 
 
+def param_table(table: MaterialTable):
+    """[M,16] packed material parameter rows (mtype kd ks sigma
+    roughness eta dissolve + tex ids + pad) — the bounce mega-kernel
+    selects per-lane rows from this in-kernel."""
+    t = table
+    pack = jnp.concatenate([
+        jnp.asarray(t.mtype).astype(jnp.float32)[:, None],
+        jnp.asarray(t.kd), jnp.asarray(t.ks),
+        jnp.asarray(t.sigma)[:, None],
+        jnp.asarray(t.roughness)[:, None],
+        jnp.asarray(t.eta)[:, None],
+        jnp.asarray(t.dissolve)[:, None],
+        jnp.asarray(t.kd_tex).astype(jnp.float32)[:, None],
+        jnp.asarray(t.ks_tex).astype(jnp.float32)[:, None],
+        jnp.asarray(t.sigma_tex).astype(jnp.float32)[:, None],
+        jnp.asarray(t.bump_tex).astype(jnp.float32)[:, None],
+    ], axis=1)
+    return jnp.concatenate(
+        [pack, jnp.zeros((pack.shape[0], 1), jnp.float32)], axis=1)
+
+
 def resolve_params(table: MaterialTable, mat_id, ns, ng, dpdu,
                    uv=None, textures=None, dpdv=None,
                    duvdx=None, duvdy=None,

@@ -17,14 +17,19 @@ Subpaths are stored as python lists of per-depth vertex records
 (static strategy loops -> static indexing; every array is [N, ...]
 over the wave).
 
-Deviations from an exact adjoint formulation, documented:
-* BSDF evaluation in importance (light->eye) transport reuses the
-  radiance-transport slot evaluation plus the shading-normal
-  correction factor; the eta^2 radiance-scaling asymmetry of specular
-  refraction is not applied (affects caustics through glass only).
-* The (s=1, t=1) strategy (light sampled directly through the lens)
-  is omitted, as in pbrt for non-connectible light vertices; direct
-  light visibility is covered by the s=0 strategies.
+Adjoint-completeness notes (verified against the reference, round 4):
+* Shading-normal correction in importance transport mirrors
+  correct_shading_normal (bpt/mod.rs:225-232) exactly; the reference
+  applies NO eta^2 radiance-scaling asymmetry for specular refraction
+  there either, so omitting it here is parity, not a deviation
+  (a full Veach adjoint would add it; affects caustics through glass).
+* The (s=1, t=1) strategy is omitted BECAUSE it is a no-op in the
+  reference: Node::evaluate returns black for Light nodes
+  (bpt/node.rs:97-110), and Node::is_connectible marks light nodes
+  connectible only when they carry LIGHT_DDIR (bpt/node.rs:113-118),
+  which area lights never do — so the reference's t==1 branch
+  (bpt/mod.rs:258-282) never produces a (s=1,t=1) contribution.
+  Direct light visibility is covered by the s=0 strategies.
 """
 
 from __future__ import annotations

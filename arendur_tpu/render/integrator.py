@@ -132,6 +132,12 @@ def _mega_eligible(scene: sc.SceneData, config: RenderConfig):
     from arendur_tpu.bxdf import pallas_shade as psh
     if not psh.use_pallas_shade() or config.textures is not None:
         return False, False
+    if getattr(scene, "inst", ()):
+        # instanced-mesh hit info is resolved in XLA; the mega kernel
+        # constructs shading info in-kernel from the world pool only
+        return False, False
+    if scene.tri_cw is None or not sc._use_pallas_intersect():
+        return False, False
     try:
         letex = np.asarray(scene.lights.emission_tex) \
             if scene.lights.emission_tex is not None else None
@@ -177,6 +183,7 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         # column layout than the one compiled into the kernel
         mega_pk, _cidx, mega_lpresent = sc.light_pack(scene)
         mega_lcidx = tuple(sorted(_cidx.items()))
+        mega_emi = tuple(_cidx["emission"])
     scene = as_jax(scene)
     ws = smp.WaveSampler(base_key, pixel_id, sample_id,
                          kind=config.sampler,
@@ -249,47 +256,43 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         # named phases mirror the reference's flame spans
         # ("pt rendering" / "pt light calculation" / "pt add sample",
         # pt.rs:129-157); they label the HLO ops for jax.profiler
-        with jax.named_scope("pt_intersect"):
-            hit = sc.intersect(scene, o, d, n_alive=n_alive)
-
         if use_mega:
-            # fused bounce shade: steps (2)-(5) in ONE Pallas launch
-            # (render/pallas_bounce.py); only the shadow any-hit query
-            # and one masked add remain outside
+            # fused bounce shade: hit-info + steps (2)-(5) in ONE
+            # Pallas launch (render/pallas_bounce.py); only the
+            # closest-hit kernel, one triangle-row gather, the shadow
+            # any-hit query and one masked add remain outside
             from arendur_tpu.render import pallas_bounce as pb
-            (mtype, kd, ks, sigma, rough, eta_m, dis, ns2, dpdu2) = \
-                mats.resolve_params(scene.materials, hit.mat_id,
-                                    hit.ns, hit.ng, hit.dpdu)
-            le = sc.light_emission(scene.lights, hit.light_id, hit.uv,
-                                   None)
+            with jax.named_scope("pt_intersect"):
+                raw = sc.intersect_raw(scene, o, d, n_alive=n_alive)
             dim0_ = smp.BOUNCE_DIM_BASE + bounce * smp.DIMS_PER_BOUNCE
             u_sel = draw1(st, dim0_ + smp.DIM_LIGHT_SELECT)
             u_light = draw2(st, dim0_ + smp.DIM_LIGHT_U)
             u_bsdf = draw2(st, dim0_ + smp.DIM_BSDF_U)
             u_rr = draw1(st, dim0_ + smp.DIM_RR)
             lidx, selpdf = nee.sample_one_light(scene, u_sel)
-            lrow = mega_pk[jnp.maximum(lidx, 0)]
             zb = o[:, 0] * 0.0
             f1 = lambda a: a.astype(jnp.float32)[:, None]
             b1 = lambda m: jnp.where(m, 1.0, 0.0)[:, None]
             bounce_f = (bounce.astype(jnp.float32)
                         if hasattr(bounce, "astype") else float(bounce))
             x = jnp.concatenate([
-                hit.pos, hit.pos_err, hit.ng, ns2, dpdu2,
-                b1(hit.hit), f1(hit.light_id), le,
-                f1(mtype), kd, ks, sigma[:, None],
-                rough[:, None], eta_m[:, None], dis[:, None],
-                d, beta, L, b1(specular), f1(sel_prev),
+                o, d, raw["t"][:, None],
+                b1(raw["hit"]), b1(raw["is_sphere"]), f1(raw["s_idx"]),
+                raw["p_local"], raw["trow"],
+                beta, L, b1(specular), f1(sel_prev),
                 wb_prev[:, None], b1(nee_prev), b1(alive),
                 f1(lidx), selpdf[:, None], u_light, u_bsdf,
                 u_rr[:, None], (zb + bounce_f)[:, None],
-                lrow,
             ], axis=1)
+            from arendur_tpu.shapes import sphere as sphmod
+            ltab = jnp.asarray(mega_pk)
+            mtab = mats.param_table(scene.materials)
+            stab = sphmod.shade_table(scene.spheres)
             with jax.named_scope("pt_shade_mega"):
                 out = pb.bounce_shade(
-                    x, mega_presence, mega_dists, mega_lcidx,
-                    mega_lpresent, config.min_depth,
-                    float(config.rr_threshold),
+                    x, ltab, mtab, stab, mega_presence, mega_dists,
+                    mega_lcidx, mega_lpresent, mega_emi,
+                    config.min_depth, float(config.rr_threshold),
                     mega_full_phi, pb.default_interpret())
             r = pb.unpack_out(out)
             with jax.named_scope("pt_light_calculation"):
@@ -304,6 +307,8 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
                         wb_prev=r["wb_prev"], nee_prev=r["nee_prev"],
                         st=st)
 
+        with jax.named_scope("pt_intersect"):
+            hit = sc.intersect(scene, o, d, n_alive=n_alive)
         lane_active = alive & hit.hit
 
         # (2) emitted radiance (ref: pt.rs:72-78; le() via the

@@ -1,25 +1,33 @@
 """The per-bounce shade mega-kernel: ONE Pallas launch for everything
-between closest-hit and the shadow query.
+between closest-hit geometry resolution and the shadow query.
 
 The tunneled TPU pays a large fixed cost per executed HLO op
-(DESIGN.md §9.1), so the wavefront bounce — emission collection,
-material recipe, NEE light sampling + MIS, BSDF mixture sampling,
-deferred-MIS weight, beta/Russian-roulette update — is fused into one
-kernel whose body calls the SAME row-level functions as the XLA path
-(materials.build_slots, nee.light_sample_rows / direct_light_contrib /
-path_mis_weight_rows, slots.bsdf_sample / bsdf_eval_pdf), so semantics
-are shared by construction.  Per bounce the device then executes:
-compaction ops + closest-hit kernel + a few gathers + THIS kernel +
-the any-hit shadow kernel + one masked add.
+(DESIGN.md §9.1), so the wavefront bounce — hit shading-info
+construction (triangle barycentrics/frames + sphere fundamental
+forms), emission collection, material recipe, NEE light sampling +
+MIS, BSDF mixture sampling, deferred-MIS weight, beta/Russian-
+roulette update — is fused into one kernel whose body calls the SAME
+row-level functions as the XLA path (scene.tri_shading_from_row,
+sphere.sphere_shading_from_row, materials.build_slots,
+nee.light_sample_rows / direct_light_contrib / path_mis_weight_rows,
+slots.bsdf_sample / bsdf_eval_pdf), so semantics are shared by
+construction.  Per-lane table rows (materials, lights, spheres) are
+selected IN-KERNEL by one-hot matmuls over the small scene tables —
+no wavefront gathers, and the kernel input stays narrow (~58 cols).
+
+Per bounce the device executes: compaction ops + the closest-hit
+cluster kernel + one triangle-row gather + THIS kernel + the any-hit
+shadow kernel + one masked add.
 
 Eligibility (host-checked by the integrator): TPU backend, no image
 textures (texture lookups are HBM gathers and stay outside), no
-emission-profile textures, full-phi sphere lights (the phi clip needs
-atan2, which has no Mosaic lowering).  Everything else falls back to
-the identical XLA composition.
+emission-profile textures, no instanced meshes.  Everything else
+falls back to the identical XLA composition.
 
 Gradients: custom_vjp whose backward runs jax.vjp over the same body
-outside Pallas (identical math, f32-roundoff agreement).
+outside Pallas (identical math, f32-roundoff agreement) — including
+cotangents for the material/light tables (the differentiable
+parameters).
 """
 
 from __future__ import annotations
@@ -37,8 +45,9 @@ from arendur_tpu import spectrum as spec
 from arendur_tpu import scene as sc
 from arendur_tpu.bxdf import slots as sl
 from arendur_tpu.bxdf.types import ALL, ALL_NON_SPECULAR, SPECULAR
-from arendur_tpu.geometry.vec import dot, length2
+from arendur_tpu.geometry.vec import dot, cross, normalize, length2
 from arendur_tpu.lighting import nee
+from arendur_tpu.shapes import sphere as sph
 
 _RN = 512
 _SCOPED_VMEM_BYTES = 10 << 20
@@ -51,61 +60,56 @@ def default_interpret() -> bool:
     (CPU parity tests of the TPU-forced paths)."""
     return os.environ.get("ARENDUR_PALLAS_INTERPRET", "0") == "1"
 
-# fixed input column layout (before the variable-width light row)
-_POS = slice(0, 3)
-_PERR = slice(3, 6)
-_NG = slice(6, 9)
-_NS = slice(9, 12)
-_DPDU = slice(12, 15)
-_HIT = 15
-_LIGHT_ID = 16
-_LE = slice(17, 20)
-_MTYPE = 20
-_KD = slice(21, 24)
-_KS = slice(24, 27)
-_SIGMA = 27
-_ROUGH = 28
-_ETA = 29
-_DISSOLVE = 30
-_D = slice(31, 34)
-_BETA = slice(34, 37)
-_L = slice(37, 40)
-_SPECULAR = 40
-_SEL_PREV = 41
-_WB_PREV = 42
-_NEE_PREV = 43
-_ALIVE = 44
-_LIDX = 45
-_SELPDF = 46
-_U_LIGHT = slice(47, 49)
-_U_BSDF = slice(49, 51)
-_U_RR = 51
-_BOUNCE = 52
-_LROW0 = 53
+
+# fixed input column layout (see integrator.bounce_step mega branch)
+_O = slice(0, 3)
+_D = slice(3, 6)
+_T = 6
+_HIT = 7
+_IS_SPH = 8
+_S_IDX = 9
+_PLOCAL = slice(10, 13)
+_TROW = slice(13, 39)
+_BETA = slice(39, 42)
+_L = slice(42, 45)
+_SPECULAR = 45
+_SEL_PREV = 46
+_WB_PREV = 47
+_NEE_PREV = 48
+_ALIVE = 49
+_LIDX = 50
+_SELPDF = 51
+_U_LIGHT = slice(52, 54)
+_U_BSDF = slice(54, 56)
+_U_RR = 56
+_BOUNCE = 57
+IN_COLS = 58
 
 
-def _body(x, *, presence, dist_sets, lcidx, lpresent, min_depth,
-          rr_threshold, full_phi):
-    """Pure-jnp bounce shade over packed columns x [N, 53+Cl].
+def _select_rows(tab, idx):
+    """Per-lane row select from a small [R, C] table by one-hot
+    matmul — the in-kernel replacement for a wavefront gather."""
+    r = tab.shape[0]
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], r), 1)
+          == idx[:, None]).astype(jnp.float32)
+    return jnp.dot(oh, tab, preferred_element_type=jnp.float32)
+
+
+def _body(x, ltab, mtab, stab, *, presence, dist_sets, lcidx, lpresent,
+          emi_cols, min_depth, rr_threshold, full_phi):
+    """Pure-jnp bounce shade over packed columns x [N, IN_COLS] plus
+    the scene's small tables (lights-pack [L,CL], materials [M,16],
+    spheres [S,24] per sphere.shade_table).
 
     Mirrors integrator.bounce_step steps (2)-(5) exactly; returns
     [N, OUT_COLS] (see unpack_out for the layout)."""
-    pos = x[:, _POS]
-    pos_err = x[:, _PERR]
-    ng = x[:, _NG]
-    ns = x[:, _NS]
-    dpdu = x[:, _DPDU]
-    hitmask = x[:, _HIT] > 0.5
-    light_id = x[:, _LIGHT_ID].astype(jnp.int32)
-    le = x[:, _LE]
-    mtype = x[:, _MTYPE].astype(jnp.int32)
-    kd = x[:, _KD]
-    ks = x[:, _KS]
-    sigma = x[:, _SIGMA]
-    rough = x[:, _ROUGH]
-    eta = x[:, _ETA]
-    dissolve = x[:, _DISSOLVE]
+    o_ray = x[:, _O]
     d = x[:, _D]
+    hitmask = x[:, _HIT] > 0.5
+    is_sph = x[:, _IS_SPH] > 0.5
+    s_idx = x[:, _S_IDX].astype(jnp.int32)
+    p_local = x[:, _PLOCAL]
+    trow = x[:, _TROW]
     beta = x[:, _BETA]
     L = x[:, _L]
     specular = x[:, _SPECULAR] > 0.5
@@ -119,12 +123,46 @@ def _body(x, *, presence, dist_sets, lcidx, lpresent, min_depth,
     u_bsdf = x[:, _U_BSDF]
     u_rr = x[:, _U_RR]
     bounce = x[:, _BOUNCE]
-    lrow = x[:, _LROW0:]
     cidx = dict(lcidx)
+
+    # ---- hit shading info (scene.intersect's post-kernel half) ------
+    srow = _select_rows(stab, s_idx)
+    b0, b1 = sc._bary_from_vertices(o_ray, d, trow[:, 0:3],
+                                    trow[:, 3:6], trow[:, 6:9])
+    (pos_t, perr_t, _uv_t, dpdu_t, dpdv_t, ns_raw) = \
+        sc.tri_shading_from_row(trow, b0, b1)
+    ng_t = normalize(cross(dpdu_t, dpdv_t))
+    flip = dot(ns_raw, ng_t) < 0.0
+    ns_t = jnp.where(flip[:, None], -ns_raw, ns_raw)
+    pos_s, ng_s, dpdu_s, dpdv_s, perr_s = \
+        sph.sphere_shading_from_row(srow, p_local)
+    m3 = is_sph[:, None]
+    pos = jnp.where(m3, pos_s, pos_t)
+    pos_err = jnp.where(m3, perr_s, perr_t)
+    ng = jnp.where(m3, ng_s, ng_t)
+    ns = jnp.where(m3, ng_s, ns_t)
+    dpdu = jnp.where(m3, dpdu_s, dpdu_t)
+    mat_id = jnp.where(is_sph, srow[:, 20], trow[:, 24]).astype(
+        jnp.int32)
+    light_id = jnp.where(is_sph, srow[:, 21], trow[:, 25]).astype(
+        jnp.int32)
+    light_id = jnp.where(hitmask, light_id, -1)
+
+    # material parameters (resolve_params' row, selected in-kernel)
+    mrow = _select_rows(mtab, jnp.maximum(mat_id, 0))
+    mtype = mrow[:, 0].astype(jnp.int32)
+    kd = mrow[:, 1:4]
+    ks = mrow[:, 4:7]
+    sigma = mrow[:, 7]
+    rough = mrow[:, 8]
+    eta = mrow[:, 9]
+    dissolve = mrow[:, 10]
 
     lane_active = alive & hitmask
 
-    # (2) emitted radiance (integrator.bounce_step: emit block)
+    # (2) emitted radiance: le from the lights pack's emission block
+    lerow = _select_rows(ltab, jnp.maximum(light_id, 0))
+    le = lerow[:, emi_cols[0]:emi_cols[1]]
     emit_gate = lane_active & (light_id >= 0)
     w_emit = jnp.where((bounce == 0.0) | specular, 1.0, 0.0) \
         + jnp.where(nee_prev & (light_id == sel_prev), wb_prev, 0.0)
@@ -137,6 +175,7 @@ def _body(x, *, presence, dist_sets, lcidx, lpresent, min_depth,
                             ns, ng, dpdu, presence, flat_colors=True,
                             dist_sets=dist_sets)
     do_nee = lane_active & (sl.match_count(bsdf, ALL_NON_SPECULAR) > 0)
+    lrow = _select_rows(ltab, jnp.maximum(lidx, 0))
     ls = nee.light_sample_rows(lrow, cidx, lpresent, pos, u_light,
                                need_uv=False,
                                full_phi_spheres=full_phi)
@@ -193,13 +232,13 @@ def _body(x, *, presence, dist_sets, lcidx, lpresent, min_depth,
                      beta / (1.0 - q), beta)
     alive = alive & ~killed
 
-    b1 = lambda m: jnp.where(m, 1.0, 0.0)[:, None]
+    b1_ = lambda m: jnp.where(m, 1.0, 0.0)[:, None]
     return jnp.concatenate([
         o, d_out, L, beta,
-        b1(alive), b1(specular),
+        b1_(alive), b1_(specular),
         sel_prev.astype(jnp.float32)[:, None],
-        wb_prev[:, None], b1(nee_prev),
-        o_sh, dirn, sh_t[:, None], b1(need_sh_out),
+        wb_prev[:, None], b1_(nee_prev),
+        o_sh, dirn, sh_t[:, None], b1_(need_sh_out),
         contrib_out,
         jnp.zeros((x.shape[0], OUT_COLS - 28), jnp.float32),
     ], axis=1)
@@ -216,16 +255,17 @@ def unpack_out(out):
         need_shadow=out[:, 24] > 0.5, contrib=out[:, 25:28])
 
 
-def _kernel(x_ref, o_ref, **cfg):
-    o_ref[:] = _body(x_ref[:], **cfg)
+def _kernel(x_ref, ltab_ref, mtab_ref, stab_ref, o_ref, **cfg):
+    o_ref[:] = _body(x_ref[:], ltab_ref[:], mtab_ref[:], stab_ref[:],
+                     **cfg)
 
 
 @functools.partial(
     jax.jit, static_argnames=("presence", "dist_sets", "lcidx",
-                              "lpresent", "min_depth", "rr_threshold",
-                              "full_phi", "interpret"))
-def _run(x, presence, dist_sets, lcidx, lpresent, min_depth,
-         rr_threshold, full_phi, interpret):
+                              "lpresent", "emi_cols", "min_depth",
+                              "rr_threshold", "full_phi", "interpret"))
+def _run(x, ltab, mtab, stab, presence, dist_sets, lcidx, lpresent,
+         emi_cols, min_depth, rr_threshold, full_phi, interpret):
     n = x.shape[0]
     pad = (-n) % _RN
     if pad:
@@ -233,23 +273,28 @@ def _run(x, presence, dist_sets, lcidx, lpresent, min_depth,
     np_ = x.shape[0]
     kern = functools.partial(
         _kernel, presence=presence, dist_sets=dist_sets, lcidx=lcidx,
-        lpresent=lpresent, min_depth=min_depth,
+        lpresent=lpresent, emi_cols=emi_cols, min_depth=min_depth,
         rr_threshold=rr_threshold, full_phi=full_phi)
     per_lane = 4 * (x.shape[1] + OUT_COLS)
     max_lanes = max(_RN, (_SCOPED_VMEM_BYTES // per_lane) // _RN * _RN)
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
 
     def launch(xs):
         ns_ = xs.shape[0]
         return pl.pallas_call(
             kern,
             grid=(ns_ // _RN,),
-            in_specs=[pl.BlockSpec((_RN, xs.shape[1]), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM)],
+            in_specs=[
+                pl.BlockSpec((_RN, xs.shape[1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                whole(ltab.shape), whole(mtab.shape), whole(stab.shape),
+            ],
             out_specs=pl.BlockSpec((_RN, OUT_COLS), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((ns_, OUT_COLS), jnp.float32),
             interpret=interpret,
-        )(xs)
+        )(xs, ltab, mtab, stab)
 
     if np_ <= max_lanes:
         return launch(x)[:n]
@@ -258,38 +303,46 @@ def _run(x, presence, dist_sets, lcidx, lpresent, min_depth,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
-def bounce_shade(x, presence, dist_sets, lcidx, lpresent, min_depth,
-                 rr_threshold, full_phi, interpret=False):
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
+def bounce_shade(x, ltab, mtab, stab, presence, dist_sets, lcidx,
+                 lpresent, emi_cols, min_depth, rr_threshold,
+                 full_phi, interpret=False):
     """Kernelized bounce shade (see _body for the column contract)."""
-    return _run(x, presence, dist_sets, lcidx, lpresent, min_depth,
-                rr_threshold, full_phi, interpret)
+    return _run(x, ltab, mtab, stab, presence, dist_sets, lcidx,
+                lpresent, emi_cols, min_depth, rr_threshold, full_phi,
+                interpret)
 
 
-def _fwd(x, presence, dist_sets, lcidx, lpresent, min_depth,
-         rr_threshold, full_phi, interpret):
-    return bounce_shade(x, presence, dist_sets, lcidx, lpresent,
-                        min_depth, rr_threshold, full_phi, interpret), x
+def _fwd(x, ltab, mtab, stab, presence, dist_sets, lcidx, lpresent,
+         emi_cols, min_depth, rr_threshold, full_phi, interpret):
+    out = bounce_shade(x, ltab, mtab, stab, presence, dist_sets, lcidx,
+                       lpresent, emi_cols, min_depth, rr_threshold,
+                       full_phi, interpret)
+    return out, (x, ltab, mtab, stab)
 
 
-def _bwd(presence, dist_sets, lcidx, lpresent, min_depth, rr_threshold,
-         full_phi, interpret, x, ct):
+def _bwd(presence, dist_sets, lcidx, lpresent, emi_cols, min_depth,
+         rr_threshold, full_phi, interpret, res, ct):
+    x, ltab, mtab, stab = res
     _, vjp = jax.vjp(
-        lambda x_: _body(x_, presence=presence, dist_sets=dist_sets,
-                         lcidx=lcidx, lpresent=lpresent,
-                         min_depth=min_depth,
-                         rr_threshold=rr_threshold, full_phi=full_phi),
-        x)
+        lambda x_, lt_, mt_, st_: _body(
+            x_, lt_, mt_, st_, presence=presence, dist_sets=dist_sets,
+            lcidx=lcidx, lpresent=lpresent, emi_cols=emi_cols,
+            min_depth=min_depth, rr_threshold=rr_threshold,
+            full_phi=full_phi),
+        x, ltab, mtab, stab)
     return vjp(ct)
 
 
 bounce_shade.defvjp(_fwd, _bwd)
 
 
-def xla_reference(x, presence, dist_sets, lcidx, lpresent, min_depth,
-                  rr_threshold, full_phi):
+def xla_reference(x, ltab, mtab, stab, presence, dist_sets, lcidx,
+                  lpresent, emi_cols, min_depth, rr_threshold,
+                  full_phi):
     """The same body outside Pallas — the parity oracle and the
     backward-pass twin."""
-    return _body(x, presence=presence, dist_sets=dist_sets,
-                 lcidx=lcidx, lpresent=lpresent, min_depth=min_depth,
+    return _body(x, ltab, mtab, stab, presence=presence,
+                 dist_sets=dist_sets, lcidx=lcidx, lpresent=lpresent,
+                 emi_cols=emi_cols, min_depth=min_depth,
                  rr_threshold=rr_threshold, full_phi=full_phi)

@@ -688,6 +688,94 @@ def _bary_from_vertices(o, d, v0, v1, v2):
     return 1.0 - u - v, u
 
 
+def tri_shading_from_row(trow, b0, b1):
+    """Shading info from a packed [N,26] attribute row + barycentrics
+    (shared by the world-space pool, instanced meshes, and the Pallas
+    bounce mega-kernel)."""
+    v0 = trow[:, 0:3]
+    v1 = trow[:, 3:6]
+    v2 = trow[:, 6:9]
+    b2 = 1.0 - b0 - b1
+    pos = b0[:, None] * v0 + b1[:, None] * v1 + b2[:, None] * v2
+    perr = _GAMMA7 * (
+        jnp.abs(b0[:, None] * v0) + jnp.abs(b1[:, None] * v1)
+        + jnp.abs(b2[:, None] * v2))
+    uv0 = trow[:, 18:20]
+    uv1 = trow[:, 20:22]
+    uv2 = trow[:, 22:24]
+    uv = b0[:, None] * uv0 + b1[:, None] * uv1 + b2[:, None] * uv2
+    dpdu, dpdv = tri.tri_dpduv(v0, v1, v2, uv0, uv1, uv2)
+    ns_raw = normalize(
+        b0[:, None] * trow[:, 9:12] + b1[:, None] * trow[:, 12:15]
+        + b2[:, None] * trow[:, 15:18])
+    return pos, perr, uv, dpdu, dpdv, ns_raw
+
+
+def tri_pack(scene: "SceneData"):
+    """[T,26] packed per-triangle attribute rows (v0 v1 v2 n0 n1 n2
+    uv0 uv1 uv2 mat light) — ONE gather resolves a hit."""
+    if scene.n_tris == 0:
+        return jnp.zeros((1, 26), jnp.float32)
+    return jnp.concatenate([
+        scene.tri_v0, scene.tri_v1, scene.tri_v2,
+        scene.tri_n0, scene.tri_n1, scene.tri_n2,
+        scene.tri_uv0, scene.tri_uv1, scene.tri_uv2,
+        jnp.asarray(scene.tri_mat).astype(jnp.float32)[:, None],
+        jnp.asarray(scene.tri_light).astype(jnp.float32)[:, None],
+    ], axis=1)
+
+
+def intersect_raw(scene: SceneData, o, d, tmax=None, n_alive=None):
+    """Raw closest-hit for the bounce mega-kernel: geometry resolution
+    only, NO shading-info construction (that runs in-kernel).
+
+    Returns dict(t, hit, is_sphere, s_idx, p_local, trow [N,26]).
+    Cluster-intersector scenes without instanced meshes only (the
+    integrator's mega eligibility guarantees this)."""
+    from arendur_tpu.geometry.vec import as_jax
+    scene = as_jax(scene)
+    n = o.shape[0]
+    if tmax is None:
+        tmax = jnp.full((n,), jnp.inf, jnp.float32)
+    from arendur_tpu.shapes import pallas_intersect as pli
+    ksph = _kernel_spheres()
+    tab = sph.kernel_table(scene.spheres) if ksph else None
+    t_k, slot = pli.intersect_clusters(
+        scene.tri_cw, scene.tri_cbox, o, d, tmax,
+        n_alive=n_alive, sph_tab=tab,
+        full_phi=scene.spheres.phi_full,
+        interpret=_pallas_interpret())
+    t_tri = jnp.where(slot >= 0, t_k, jnp.inf)
+    tri_idx = jnp.where(slot >= 0,
+                        scene.tri_remap[jnp.maximum(slot, 0)], -1)
+    if ksph:
+        sph_hit = slot <= -2
+        t_sph = jnp.where(sph_hit, t_k, jnp.inf)
+        s_idx = jnp.where(sph_hit, -(slot + 2), 0)
+        use_sphere = sph_hit & (t_sph <= t_tri)
+        w2o16 = jnp.asarray(scene.spheres.w2o).reshape(-1, 16)
+        srow = jnp.concatenate(
+            [w2o16, jnp.asarray(scene.spheres.radius)[:, None]],
+            axis=1)[s_idx]
+        from arendur_tpu.lighting.nee import _tp16, _tv16
+        ol = _tp16(srow[:, 0:16], o)
+        dl = _tv16(srow[:, 0:16], d)
+        p_local = sph.refine_p_local(ol, dl, t_sph, srow[:, 16])
+        t_best = jnp.where(use_sphere, t_sph, t_tri)
+    else:
+        sp = sph.intersect_spheres(scene.spheres, o, d,
+                                   jnp.minimum(tmax, t_tri))
+        use_sphere = sp["hit"]
+        s_idx = jnp.maximum(sp["sphere_idx"], 0)
+        p_local = sp["p_local"]
+        t_best = jnp.where(use_sphere, sp["t"], t_tri)
+    hit = (tri_idx >= 0) | use_sphere
+    trow = tri_pack(scene)[jnp.maximum(tri_idx, 0)]
+    return dict(t=jnp.where(hit, t_best, jnp.inf), hit=hit,
+                is_sphere=use_sphere, s_idx=s_idx, p_local=p_local,
+                trow=trow)
+
+
 def intersect(scene: SceneData, o, d, tmax=None, n_alive=None) -> Hit:
     """Closest-hit of N rays against the whole scene, with full
     shading info (the wavefront Composable::intersect_ray +
@@ -760,29 +848,8 @@ def intersect(scene: SceneData, o, d, tmax=None, n_alive=None) -> Hit:
     tri_hit = tri_idx >= 0
     t_tri = jnp.where(tri_hit, t_tri, jnp.inf)
 
-    def _tri_shading(trow, b0, b1):
-        """Shading info from a packed attribute row + barycentrics
-        (shared by the world-space pool and instanced meshes)."""
-        v0 = trow[:, 0:3]
-        v1 = trow[:, 3:6]
-        v2 = trow[:, 6:9]
-        b2 = 1.0 - b0 - b1
-        pos = b0[:, None] * v0 + b1[:, None] * v1 + b2[:, None] * v2
-        perr = _GAMMA7 * (
-            jnp.abs(b0[:, None] * v0) + jnp.abs(b1[:, None] * v1)
-            + jnp.abs(b2[:, None] * v2))
-        uv0 = trow[:, 18:20]
-        uv1 = trow[:, 20:22]
-        uv2 = trow[:, 22:24]
-        uv = b0[:, None] * uv0 + b1[:, None] * uv1 + b2[:, None] * uv2
-        dpdu, dpdv = tri.tri_dpduv(v0, v1, v2, uv0, uv1, uv2)
-        ns_raw = normalize(
-            b0[:, None] * trow[:, 9:12] + b1[:, None] * trow[:, 12:15]
-            + b2[:, None] * trow[:, 15:18])
-        return pos, perr, uv, dpdu, dpdv, ns_raw
-
     pos_tri, perr_tri, uv_tri, dpdu_tri, dpdv_tri, ns_raw = \
-        _tri_shading(trow, b0, b1)
+        tri_shading_from_row(trow, b0, b1)
     ng_tri = normalize(cross(dpdu_tri, dpdv_tri))
     # orient shading normal to agree with geometric
     # (ref: interaction.rs:167-181 with orient_norm_by_shading=true)
@@ -843,7 +910,7 @@ def intersect(scene: SceneData, o, d, tmax=None, n_alive=None) -> Hit:
         b0i, b1i = _bary_from_vertices(
             ol_b, dl_b, irow[:, 0:3], irow[:, 3:6], irow[:, 6:9])
         pos_l, perr_l, uv_i, dpdu_l, dpdv_l, ns_l = \
-            _tri_shading(irow, b0i, b1i)
+            tri_shading_from_row(irow, b0i, b1i)
         lin = o2w_b[:, :3, :3]
         pos_w = jnp.einsum('nj,njk->nk', pos_l, lin) + o2w_b[:, 3, :3]
         dpdu_w = jnp.einsum('nj,njk->nk', dpdu_l, lin)

@@ -54,6 +54,54 @@ class SphereSoA:
         return self.radius.shape[0]
 
 
+def shade_table(spheres: "SphereSoA"):
+    """[S,24] packed rows for the bounce mega-kernel's sphere shading
+    branch: o2w(16) radius thetamin thetamax phimax mat light pad(2)."""
+    o2w = jnp.asarray(spheres.o2w).reshape(-1, 16)
+    return jnp.concatenate([
+        o2w,
+        jnp.asarray(spheres.radius)[:, None],
+        jnp.asarray(spheres.thetamin)[:, None],
+        jnp.asarray(spheres.thetamax)[:, None],
+        jnp.asarray(spheres.phimax)[:, None],
+        jnp.asarray(spheres.mat_id).astype(jnp.float32)[:, None],
+        jnp.asarray(spheres.light_id).astype(jnp.float32)[:, None],
+        jnp.zeros((o2w.shape[0], 2), jnp.float32)], axis=1)
+
+
+def sphere_shading_from_row(srow, p_local):
+    """World shading info from packed shade_table rows [N,24] + the
+    local hit point: (pos, ng, dpdu, dpdv, pos_err).  The Pallas
+    bounce kernel's sphere branch — sphere_hit_info's math minus uv
+    (the mega path is texture-free), with the shared polynomial acos
+    (no Mosaic lowering; ~7e-5 rad, only scales the tangent frame)."""
+    from arendur_tpu.geometry.frame import acos_poly
+    o2w = srow[:, 0:16]
+    radius = srow[:, 16]
+    thetamin = srow[:, 17]
+    thetamax = srow[:, 18]
+    phimax = srow[:, 19]
+    p = p_local
+    thetadelta = thetamax - thetamin
+    theta = acos_poly(jnp.clip(p[..., 2] / jnp.maximum(radius, 1e-20),
+                               -1.0 + 1e-7, 1.0 - 1e-7))
+    inv_zr = 1.0 / jnp.sqrt(
+        jnp.maximum(p[..., 0] ** 2 + p[..., 1] ** 2, 1e-30))
+    cphi = p[..., 0] * inv_zr
+    sphi = p[..., 1] * inv_zr
+    dpdu_l = vec3(-phimax * p[..., 1], phimax * p[..., 0],
+                  jnp.zeros_like(phimax))
+    dpdv_l = thetadelta[..., None] * vec3(
+        p[..., 2] * cphi, p[..., 2] * sphi,
+        -radius * jnp.sin(theta))
+    pos = tf.transform_point_row16(o2w, p)
+    dpdu = tf.transform_vector_row16(o2w, dpdu_l)
+    dpdv = tf.transform_vector_row16(o2w, dpdv_l)
+    ng = normalize(cross(dpdu, dpdv))
+    pos_err = jnp.abs(pos) * (5.0 * 2.0 ** -24)
+    return pos, ng, dpdu, dpdv, pos_err
+
+
 def kernel_table(spheres: "SphereSoA"):
     """[S,24] packed rows for the Pallas intersect kernels:
     w2o(16) radius zmin zmax phimax pad(4)."""

@@ -1,9 +1,10 @@
 """Image textures with mipmap pyramids and (tri)linear filtering
 (ref: src/texturing/textures/image.rs).
 
-Host side: decode + build the full pyramid down to 1x1 (the reference
-uses Lanczos3 downsampling; we use a 2x2 box which is standard for
-renderers and visually indistinguishable at the pyramid levels).
+Host side: decode + build the full pyramid down to 1x1 with separable
+Lanczos3 downsampling, matching the reference's resize kernel
+(image.rs:216-260); tiny levels (<4 texels per axis) fall back to a
+2x2 box average where the 12-tap window exceeds the image.
 Device side: all textures of a scene are packed into one flat atlas
 array; lookups gather by texture id with Repeat/Clamp/Black wrap modes
 (image.rs:601-609) and optional gamma decode (image.rs:621-627).
@@ -31,6 +32,54 @@ from flax import struct
 WRAP_REPEAT = 0
 WRAP_BLACK = 1
 WRAP_CLAMP = 2
+
+
+def _lanczos3_taps():
+    """12 taps of the factor-2 Lanczos3 decimation kernel: output
+    texel o (center 2o+0.5 in input coords) reads input texels
+    2o + r for r in [-5, 6]; x = (r - 0.5)/2 spans (-3, 3)
+    (ref: the reference resizes levels with a Lanczos3 windowed sinc,
+    image.rs:216-260)."""
+    r = np.arange(-5, 7)
+    x = (r - 0.5) / 2.0
+    w = np.sinc(x) * np.sinc(x / 3.0)
+    w[np.abs(x) >= 3.0] = 0.0
+    return r, (w / w.sum()).astype(np.float32)
+
+
+def _downsample2(img: np.ndarray) -> np.ndarray:
+    """Halve each axis (>1) with separable Lanczos3 (clamped
+    boundaries); axes too small for the 12-tap window use a box."""
+    r, w = _lanczos3_taps()
+    out = img
+    for ax in (0, 1):
+        n = out.shape[ax]
+        if n <= 1:
+            continue
+        n2 = max(1, n // 2)
+        if n < 4:
+            sl = [slice(None)] * out.ndim
+            sl[ax] = slice(0, 2 * n2)
+            a2 = out[tuple(sl)]
+            shape = list(a2.shape)
+            shape[ax:ax + 1] = [n2, 2]
+            out = a2.reshape(shape).mean(ax + 1)
+        else:
+            idx = np.clip(2 * np.arange(n2)[:, None] + r[None, :],
+                          0, n - 1)
+            taken = np.take(out, idx, axis=ax)   # [..., n2, 12, ...]
+            out = np.einsum(
+                taken_spec(taken.ndim, ax), taken, w).astype(np.float32)
+    return np.ascontiguousarray(out.astype(np.float32))
+
+
+def taken_spec(ndim: int, ax: int) -> str:
+    """einsum spec contracting the taps axis (ax+1) of an ndim array
+    against the 1-D kernel."""
+    letters = "abcdefgh"[:ndim]
+    kin = letters
+    out = letters[:ax + 1] + letters[ax + 2:]
+    return f"{kin},{letters[ax + 1]}->{out}"
 
 
 @struct.dataclass
@@ -76,15 +125,7 @@ class AtlasBuilder:
                            ((img + 0.055) / 1.055) ** 2.4)
         levels = [img]
         while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
-            prev = levels[-1]
-            h2 = max(1, prev.shape[0] // 2)
-            w2 = max(1, prev.shape[1] // 2)
-            ph = prev[:2 * h2, :2 * w2]
-            down = 0.25 * (ph[0::2, 0::2] + ph[1::2, 0::2]
-                           + ph[0::2, 1::2] + ph[1::2, 1::2]) \
-                if (prev.shape[0] > 1 and prev.shape[1] > 1) else \
-                ph.reshape(h2, w2, -1, 3).mean(2)
-            levels.append(down.astype(np.float32))
+            levels.append(_downsample2(levels[-1]))
         self.images.append(dict(levels=levels, wrap=wrap, scale=scale,
                                 uv_scale=uv_scale, uv_shift=uv_shift))
         return len(self.images) - 1

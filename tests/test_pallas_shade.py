@@ -144,3 +144,42 @@ class TestGradFallback:
         g_p = jax.grad(loss_pallas)(b.c0)
         g_x = jax.grad(loss_xla)(b.c0)
         _assert_close(g_p, g_x, "dc0", atol=1e-3, rtol=1e-3)
+
+
+class TestMegaBouncePipeline:
+    """End-to-end CPU parity of the TPU kernel pipeline in interpret
+    mode: intersect kernels + the bounce mega-kernel
+    (render/pallas_bounce.py) against the default XLA composition."""
+
+    def _render(self, env, monkeypatch):
+        import dataclasses
+        import os as _os
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        from arendur_tpu.io import scenedesc
+        from arendur_tpu.render import integrator as integ
+        REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        scene, camera, film_cfg, config, _ = scenedesc.parse_scene(
+            _os.path.join(REPO, "examples/cornellbox/cb.json"),
+            spp_override=2, resolution_override=(16, 12))
+        config = dataclasses.replace(config, max_depth=3,
+                                     wave_size=16 * 12 * 2)
+        return np.asarray(integ.render(scene, camera, film_cfg, config))
+
+    def test_full_kernel_pipeline_parity(self, monkeypatch):
+        ref = self._render({}, monkeypatch)
+        img = self._render({"ARENDUR_SHADE": "pallas",
+                            "ARENDUR_INTERSECT": "pallas",
+                            "ARENDUR_PALLAS_INTERPRET": "1"},
+                           monkeypatch)
+        assert ref.mean() > 0.01
+        np.testing.assert_allclose(img, ref, atol=2e-3)
+
+    def test_kernel_spheres_parity(self, monkeypatch):
+        ref = self._render({}, monkeypatch)
+        img = self._render({"ARENDUR_SHADE": "pallas",
+                            "ARENDUR_INTERSECT": "pallas",
+                            "ARENDUR_SPHERES": "kernel",
+                            "ARENDUR_PALLAS_INTERPRET": "1"},
+                           monkeypatch)
+        np.testing.assert_allclose(img, ref, atol=2e-3)

@@ -298,3 +298,64 @@ class TestTextureCombinators:
         np.testing.assert_allclose(np.asarray(p)[0], [3.0, 3.0, 4.0])
         # vectors ignore translation
         np.testing.assert_allclose(np.asarray(tx)[0], [2.0, 0.0, 0.0])
+
+
+class TestLanczos3Mipmaps:
+    """The mipmap pyramid downsamples with separable Lanczos3
+    (ref image.rs:216-260), not a box; tiny axes fall back to box."""
+
+    def test_constant_preserved(self):
+        from arendur_tpu.texturing import texture as tx
+        c = np.full((16, 12, 3), 0.37, np.float32)
+        d = tx._downsample2(c)
+        assert d.shape == (8, 6, 3)
+        np.testing.assert_allclose(d, 0.37, atol=1e-6)
+
+    def test_kernel_is_windowed_sinc(self):
+        from arendur_tpu.texturing import texture as tx
+        r, w = tx._lanczos3_taps()
+        assert len(r) == 12 and abs(w.sum() - 1.0) < 1e-6
+        # negative lobes present (box/triangle kernels have none)
+        assert (w < 0).any()
+
+    def test_sharper_than_box_on_edge(self):
+        """A hard edge keeps more contrast under Lanczos than a 2x2
+        box (the visible difference the golden-gate nit called out)."""
+        from arendur_tpu.texturing import texture as tx
+        img = np.zeros((32, 32, 3), np.float32)
+        img[:, 16:] = 1.0
+        lz = tx._downsample2(img)
+        box = 0.25 * (img[0::2, 0::2] + img[1::2, 0::2]
+                      + img[0::2, 1::2] + img[1::2, 1::2])
+        # contrast across the edge at half res
+        c_lz = float(lz[16, 9, 0] - lz[16, 6, 0])
+        c_box = float(box[16, 9, 0] - box[16, 6, 0])
+        assert c_lz >= c_box - 1e-6
+
+    def test_pyramid_reaches_1x1_odd_sizes(self):
+        from arendur_tpu.texturing import texture as tx
+        b = tx.AtlasBuilder()
+        b.add_image(np.random.default_rng(0).random((37, 23, 3))
+                    .astype(np.float32))
+        atlas = b.build()
+        assert int(np.asarray(atlas.n_levels)[0]) >= 6
+        assert int(np.asarray(atlas.width)[0, -1]) == 1
+        assert int(np.asarray(atlas.height)[0, -1]) == 1
+
+
+class TestTransformedMapping3D:
+    """3D solid-texture mapping through a 4x4 transform
+    (ref: texturing/mappings.rs:34-47)."""
+
+    def test_point_and_vector_semantics(self):
+        import jax.numpy as jnp
+        from arendur_tpu.texturing.texture import transformed_mapping_3d
+        m = np.eye(4, dtype=np.float32)
+        m[3, :3] = (1.0, 2.0, 3.0)        # translation row (row-vector)
+        m[0, 0] = 2.0
+        pos = jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32)
+        dpdx = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+        p, tx_, _ = transformed_mapping_3d(m, pos, dpdx, dpdx)
+        np.testing.assert_allclose(np.asarray(p)[0], [3.0, 3.0, 4.0])
+        # vectors ignore translation
+        np.testing.assert_allclose(np.asarray(tx_)[0], [2.0, 0.0, 0.0])
