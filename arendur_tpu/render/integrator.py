@@ -217,18 +217,28 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
     # per-lane sampler state travels with the lane under compaction
     sampler_is_sobol = config.sampler == "sobol"
 
+    # strata kind: every bounce dimension is per-pixel stratified over
+    # the spp samples via a stateless Kensler shuffle (the reference
+    # pre-stratifies ndim dims per pixel with per-dim shuffles,
+    # strata.rs:49-80; non-power-of-two spp falls back to independent
+    # uniforms, equal in expectation)
+    grid_ok = config.sample_dx * config.sample_dy == config.spp
+
     def draw1(st, dim):
         if sampler_is_sobol:
             from arendur_tpu.sampling.sobol import sobol_uniform
             return sobol_uniform(config.sobol_table, base_key,
                                  st["pid"], st["sid"], dim)
-        return smp.uniform_1d(st["keys"], dim)
+        return smp.stratified_1d(st["keys"], config.spp, dim)
 
     def draw2(st, dim):
         if sampler_is_sobol:
             from arendur_tpu.sampling.sobol import sobol_uniform_2d
             return sobol_uniform_2d(config.sobol_table, base_key,
                                     st["pid"], st["sid"], dim)
+        if grid_ok:
+            return smp.stratified_2d(st["keys"], config.sample_dx,
+                                     config.sample_dy, dim)
         return smp.uniform_2d(st["keys"], dim)
 
     def bounce_step(bounce, carry):

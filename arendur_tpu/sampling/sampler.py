@@ -87,6 +87,74 @@ def uniform_2d(keys, dim: int):
     return jnp.stack([u0, u1], axis=-1)
 
 
+def _permute_pow2(i, n: int, seed):
+    """Stateless bijective permutation of [0, n) for power-of-two n
+    (Kensler, "Correlated Multi-Jittered Sampling", 2013 — the
+    cycle-walk collapses to one pass when n is a power of two).
+    i: u32 array; seed: u32 array (per-lane permutation key)."""
+    w = _U(n - 1)
+    i = i & w
+    i = i ^ seed
+    i = i * _U(0xe170893d)
+    i = i ^ (seed >> 16)
+    i = i ^ ((i & w) >> 4)
+    i = i ^ (seed >> 8)
+    i = i * _U(0x0929eb3f)
+    i = i ^ (seed >> 23)
+    i = i ^ ((i & w) >> 1)
+    i = i * (_U(1) | (seed >> 27))
+    i = i * _U(0x6935fa69)
+    i = i ^ ((i & w) >> 11)
+    i = i * _U(0x74dcca23)
+    i = i ^ (seed >> 2)
+    i = i * _U(0x9e501cc3)
+    i = i ^ ((i & w) >> 2)
+    i = i * _U(0xc860a3df)
+    i = i & w
+    i = i ^ (i >> 5)
+    return (i + seed) & w
+
+
+def _dim_seed(keys, dim: int):
+    """Per-(pixel, dim) permutation key, decorrelated from the jitter
+    stream (different mixing constant)."""
+    a, _, _, _ = _pcg4d(keys[..., 0],
+                        jnp.full(keys.shape[:-1], dim, _U),
+                        jnp.full(keys.shape[:-1], 0x8F1BBCDC, _U),
+                        jnp.full(keys.shape[:-1], 0xCA62C1D6, _U))
+    return a
+
+
+def stratified_1d(keys, spp: int, dim: int):
+    """Per-pixel stratified 1-D draw: sample s lands in stratum
+    permute(s) of spp equal strata, jittered (the counter-based
+    equivalent of the reference's pre-stratified per-dim shuffled
+    tables, strata.rs:49-80).  Non-power-of-two spp falls back to the
+    independent uniform (equal in expectation)."""
+    u = uniform_1d(keys, dim)
+    if spp < 2 or (spp & (spp - 1)) != 0:
+        return u
+    stratum = _permute_pow2(keys[..., 1], spp, _dim_seed(keys, dim))
+    return (stratum.astype(jnp.float32) + u) / spp
+
+
+def stratified_2d(keys, dx: int, dy: int, dim: int):
+    """Per-pixel stratified 2-D draw over a dx*dy cell grid with a
+    per-(pixel, dim) cell shuffle + jitter (strata.rs:167-194
+    semantics, stateless).  Falls back to independent uniforms when
+    dx*dy is not a power of two."""
+    u = uniform_2d(keys, dim)
+    spp = dx * dy
+    if spp < 2 or (spp & (spp - 1)) != 0 or dx < 1 or dy < 1:
+        return u
+    cell = _permute_pow2(keys[..., 1], spp, _dim_seed(keys, dim))
+    cx = (cell % _U(dx)).astype(jnp.float32)
+    cy = (cell // _U(dx)).astype(jnp.float32)
+    jx = (cx + u[..., 0]) / dx
+    jy = (cy + u[..., 1]) / dy
+    return jnp.stack([jx, jy], axis=-1)
+
+
 def stratified_film_sample(keys, sample_id, dx: int, dy: int, dim: int = 0):
     """Stratified sub-pixel offset in [0,1)^2.
 

@@ -177,3 +177,70 @@ class TestRho:
         rho_hh = np.asarray(sl.rho_hh(b, s1, s2))
         np.testing.assert_allclose(rho_hh.mean(0), [0.25, 0.5, 0.75],
                                    atol=0.05)
+
+
+class TestStratifiedBounceDims:
+    """Bounce dimensions are per-pixel stratified via a stateless
+    Kensler shuffle (ref strata.rs:49-80 pre-stratified shuffled
+    tables); VERDICT r3 item 9."""
+
+    def test_strata_cover_exactly_once(self):
+        from arendur_tpu.sampling import sampler as smp
+        import jax.numpy as jnp
+        spp = 16
+        key = smp.make_base_key(3)
+        for pixel in (0, 7, 12345):
+            pid = jnp.full((spp,), pixel, jnp.int32)
+            sid = jnp.arange(spp, dtype=jnp.int32)
+            keys = smp.ray_keys(key, pid, sid)
+            for dim in (5, 9, 21):
+                u = np.asarray(smp.stratified_1d(keys, spp, dim))
+                strata = np.sort((u * spp).astype(int))
+                assert (strata == np.arange(spp)).all(), (pixel, dim)
+            u2 = np.asarray(smp.stratified_2d(keys, 4, 4, 13))
+            cells = np.sort(((u2[:, 1] * 4).astype(int) * 4
+                             + (u2[:, 0] * 4).astype(int)))
+            assert (cells == np.arange(16)).all()
+
+    def test_dims_decorrelated(self):
+        """Different dims get different shuffles (no inter-dim
+        correlation of strata order)."""
+        from arendur_tpu.sampling import sampler as smp
+        import jax.numpy as jnp
+        spp = 16
+        key = smp.make_base_key(0)
+        pid = jnp.zeros((spp,), jnp.int32)
+        sid = jnp.arange(spp, dtype=jnp.int32)
+        keys = smp.ray_keys(key, pid, sid)
+        s_a = (np.asarray(smp.stratified_1d(keys, spp, 5)) * spp).astype(int)
+        s_b = (np.asarray(smp.stratified_1d(keys, spp, 6)) * spp).astype(int)
+        assert not (s_a == s_b).all()
+
+    def test_variance_reduction(self):
+        """Integrating u over a pixel's spp samples: stratified error
+        is far below the independent-uniform error."""
+        from arendur_tpu.sampling import sampler as smp
+        import jax.numpy as jnp
+        spp = 16
+        key = smp.make_base_key(1)
+        n_pix = 512
+        pid = jnp.repeat(jnp.arange(n_pix, dtype=jnp.int32), spp)
+        sid = jnp.tile(jnp.arange(spp, dtype=jnp.int32), n_pix)
+        keys = smp.ray_keys(key, pid, sid)
+        u_s = np.asarray(smp.stratified_1d(keys, spp, 9)).reshape(
+            n_pix, spp)
+        u_i = np.asarray(smp.uniform_1d(keys, 9)).reshape(n_pix, spp)
+        err_s = np.abs(u_s.mean(1) - 0.5)
+        err_i = np.abs(u_i.mean(1) - 0.5)
+        assert err_s.mean() < 0.35 * err_i.mean(), (
+            err_s.mean(), err_i.mean())
+
+    def test_non_pow2_falls_back(self):
+        from arendur_tpu.sampling import sampler as smp
+        import jax.numpy as jnp
+        key = smp.make_base_key(0)
+        keys = smp.ray_keys(key, jnp.zeros(6, jnp.int32),
+                            jnp.arange(6, dtype=jnp.int32))
+        u_s = np.asarray(smp.stratified_1d(keys, 6, 3))
+        u_i = np.asarray(smp.uniform_1d(keys, 3))
+        np.testing.assert_array_equal(u_s, u_i)

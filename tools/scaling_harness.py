@@ -51,7 +51,8 @@ def child(n_dev: int, mode: str):
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", n_dev)
+    jax.config.update("jax_num_cpu_devices",
+                      1 if mode.startswith("control") else n_dev)
     import dataclasses
     import numpy as np
     import jax.numpy as jnp
@@ -65,6 +66,11 @@ def child(n_dev: int, mode: str):
     film_total = RES[0] * RES[1] * SPP
     if mode == "weak":
         wave = RAYS_PER_DEV * n_dev
+    elif mode.startswith("control"):
+        # same total wave as weak-N, but on ONE device: isolates the
+        # sharding+collective machinery from plain compute scaling
+        wave = RAYS_PER_DEV * int(mode.split(":")[1])
+        n_dev = 1
     else:
         wave = film_total
     config = dataclasses.replace(config, max_depth=DEPTH,
@@ -152,43 +158,50 @@ def main():
     result = {
         "methodology": {
             "host_cores": host_cores,
-            "weak": f"fixed {RAYS_PER_DEV} rays/device; corrected "
-                    "efficiency divides out host oversubscription "
-                    "(expected_wall = wall1 * ceil(N/cores)); the "
-                    "residual is sharding+collective overhead",
+            "weak": f"fixed {RAYS_PER_DEV} rays/device over N virtual "
+                    "devices; sharding_overhead compares each run "
+                    "against a CONTROL that processes the SAME total "
+                    "wave on ONE device — compute scaling and host "
+                    "contention cancel exactly, leaving only the mesh "
+                    "machinery + collectives the pod gate cares about",
             "strong": "fixed tiny wave split N ways; recorded for "
                       "completeness, dominated by host contention — "
                       "NOT pod evidence",
         },
         "workload": {"res": RES, "spp": SPP, "depth": DEPTH},
     }
-    for mode in ("weak", "strong"):
-        rows = []
-        for n in [int(x) for x in args.devices.split(",")]:
-            env = dict(os.environ)
-            env["JAX_PLATFORMS"] = "cpu"
-            env.pop("XLA_FLAGS", None)
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--child", str(n), "--mode", mode],
-                capture_output=True, text=True, env=env, timeout=1800)
-            line = [l for l in out.stdout.splitlines()
-                    if l.startswith("{")][-1]
-            rows.append(json.loads(line))
-            print(rows[-1], flush=True)
-        base = rows[0]
-        for r in rows:
-            n = r["devices"]
-            if mode == "weak":
-                # ideal: wall constant; corrected for host time-sharing
-                import math
-                expected = base["wall_s"] * math.ceil(n / host_cores)
-                r["raw_efficiency"] = base["wall_s"] / r["wall_s"]
-                r["corrected_efficiency"] = expected / r["wall_s"]
-            else:
-                r["raw_efficiency"] = r["paths_per_s"] / (
-                    base["paths_per_s"] * n)
-        result[mode] = rows
+    def run_child(n, mode):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("XLA_FLAGS", None)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--child", str(n), "--mode", mode],
+            capture_output=True, text=True, env=env, timeout=1800)
+        line = [l for l in out.stdout.splitlines()
+                if l.startswith("{")][-1]
+        row = json.loads(line)
+        print(row, flush=True)
+        return row
+
+    devices = [int(x) for x in args.devices.split(",")]
+    rows = []
+    for n in devices:
+        r = run_child(n, "weak")
+        ctrl = run_child(n, f"control:{n}")
+        r["control_wall_s_1dev_same_wave"] = ctrl["wall_s"]
+        # sharded run vs same-wave single-device run: compute load and
+        # host contention cancel; the ratio IS the sharding overhead
+        r["sharding_overhead"] = r["wall_s"] / ctrl["wall_s"]
+        r["weak_efficiency_vs_control"] = ctrl["wall_s"] / r["wall_s"]
+        rows.append(r)
+    result["weak"] = rows
+    rows = [run_child(n, "strong") for n in devices]
+    base = rows[0]
+    for r in rows:
+        r["raw_efficiency"] = r["paths_per_s"] / (
+            base["paths_per_s"] * r["devices"])
+    result["strong"] = rows
     result["comm_model"] = _comm_model()
     try:
         result["multihost_gloo_2proc"] = _multihost_timing()
