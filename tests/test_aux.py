@@ -4,6 +4,7 @@ named phase profiling, invalid-sample counters."""
 import os
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from arendur_tpu import scene as sc
@@ -41,6 +42,7 @@ def _setup():
     return scene, camera, film_cfg, config
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_bit_identical(tmp_path):
     """A render resumed from a mid-render checkpoint reproduces the
     uninterrupted image (counter-based sampler => the film

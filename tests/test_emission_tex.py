@@ -6,6 +6,7 @@ emission profile is a texture evaluated at the hit/sample point).
 import dataclasses
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from arendur_tpu import scene as sc
@@ -110,6 +111,7 @@ class TestEmissionTexture:
         assert np.all(le_t[dark, 0] < 1.0)
         assert np.all(le_c[:, 0] > 3.0)
 
+    @pytest.mark.slow
     def test_pt_render_varies(self):
         """End-to-end: a camera looking at the quad sees the profile."""
         from arendur_tpu.render import integrator as integ

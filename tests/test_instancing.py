@@ -11,6 +11,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from arendur_tpu import scene as sc
@@ -102,6 +103,7 @@ class TestInstancedIntersect:
         np.testing.assert_allclose(np.asarray(hb.uv)[hit],
                                    np.asarray(hi.uv)[hit], atol=1e-5)
 
+    @pytest.mark.slow
     def test_render_matches_baked(self):
         img_b = _render(_scene_baked())
         img_i = _render(_scene_instanced())
@@ -132,6 +134,7 @@ class TestInstancedIntersect:
 
 
 class TestTransformedMeshJSON:
+    @pytest.mark.slow
     def test_json_transformed_mesh_renders(self, tmp_path):
         obj = tmp_path / "quad.obj"
         obj.write_text(

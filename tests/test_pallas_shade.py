@@ -8,6 +8,7 @@ gradient fallback.  The kernels reuse slots.py's math verbatim, so
 parity is exact up to f32 reassociation."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -109,6 +110,7 @@ class TestEvalPdfParity:
 
 
 class TestGradFallback:
+    @pytest.mark.slow
     def test_sample_vjp_matches_xla(self):
         """The custom-VJP backward (XLA re-derivation) must match
         grads of the pure XLA path w.r.t. material colors."""
@@ -166,6 +168,7 @@ class TestMegaBouncePipeline:
                                      wave_size=16 * 12 * 2)
         return np.asarray(integ.render(scene, camera, film_cfg, config))
 
+    @pytest.mark.slow
     def test_full_kernel_pipeline_parity(self, monkeypatch):
         ref = self._render({}, monkeypatch)
         img = self._render({"ARENDUR_SHADE": "pallas",
@@ -175,6 +178,7 @@ class TestMegaBouncePipeline:
         assert ref.mean() > 0.01
         np.testing.assert_allclose(img, ref, atol=2e-3)
 
+    @pytest.mark.slow
     def test_kernel_spheres_parity(self, monkeypatch):
         ref = self._render({}, monkeypatch)
         img = self._render({"ARENDUR_SHADE": "pallas",

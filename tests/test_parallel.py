@@ -44,6 +44,7 @@ def eight_device_mesh():
 
 
 class TestShardedRender:
+    @pytest.mark.slow
     def test_matches_single_device(self, eight_device_mesh):
         scene = tiny_scene()
         camera = tiny_camera()
@@ -59,6 +60,7 @@ class TestShardedRender:
         np.testing.assert_allclose(img_sharded, img_single,
                                    rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.slow
     def test_train_step_descends(self, eight_device_mesh):
         scene = tiny_scene()
         camera = tiny_camera()
@@ -83,6 +85,7 @@ class TestShardedRender:
 
 
 class TestGradients:
+    @pytest.mark.slow
     def test_grad_matches_finite_difference(self):
         """Pixel-gradient vs finite differences through the *same*
         deterministic sample stream (BASELINE.md correctness gate)."""

@@ -3,14 +3,16 @@ M6), measured the honest way on a 2-core CPU host.
 
 Three parts, all written into SCALING.json:
 
-1. WEAK scaling (the meaningful simulated measurement): fixed rays per
-   device, N virtual CPU devices.  Raw wall time on an oversubscribed
-   host mostly measures host-core contention, so the harness also
-   computes a corrected efficiency against the oversubscription model
-       expected_wall(N) = wall(1) * ceil(N / host_cores)
-   — the N simulated devices time-share host_cores cores; anything
-   beyond that is real overhead (collectives + sharding machinery),
-   which is the quantity the pod gate cares about.
+1. WEAK scaling (the meaningful simulated measurement): fixed rays
+   per device over N virtual CPU devices, each run paired with a
+   CONTROL that processes the SAME total wave on ONE device.  Compute
+   load and host contention cancel exactly in the ratio, so
+       sharding_overhead = wall_sharded / wall_control
+   isolates precisely the mesh machinery + collectives that the pod
+   gate cares about.  Measured: overhead within ~8% for N=2..8
+   (weak_efficiency_vs_control 0.92-1.07; sub-second workloads show
+   run-to-run variance of the same order — see the N=1 pair, which
+   runs the identical program twice).
 
 2. STRONG scaling (kept for reference, with its caveat recorded): a
    fixed tiny wave split N ways; on this host it mostly measures
