@@ -86,6 +86,7 @@ def test_checkpoint_resume_bit_identical(tmp_path):
     assert next_ray == 4 * wave and seed == config.seed
 
 
+@pytest.mark.slow
 def test_phase_totals_and_invalid_counter():
     scene, camera, film_cfg, config = _setup()
     utils.reset_phase_totals()
