@@ -320,6 +320,131 @@ def slot_pdf(stype, p0, p1, p2, dist, wo, wi, present=None,
     return out
 
 
+
+
+# ---------------------------------------------------------------------------
+# fused per-slot evaluate + pdf: one wh/D/Lambda computation per family
+# (the NEE branch and the mixture re-accumulation need both f and pdf;
+# Mosaic performs no global CSE, so the separate slot_eval + slot_pdf
+# sweeps duplicated the microfacet work inside the bounce kernel)
+# ---------------------------------------------------------------------------
+
+def _ts_r_eval_pdf(c0, alpha, eta0, eta1, dist, wo, wi, dists=None):
+    wh = normalize(wo + wi)
+    nanmask = ~jnp.all(jnp.isfinite(wh), axis=-1)
+    d = mf.distribution(dist, wh, alpha, alpha, dists)
+    g = mf.visible_both(dist, wo, wi, alpha, alpha, dists)
+    fr = fresnel_dielectric(dot(wi, wh), eta0, eta1)
+    denom = 4.0 * jnp.abs(wo[..., 2]) * jnp.abs(wi[..., 2])
+    f = c0 * _fin(d * g * fr / jnp.maximum(denom, 1e-20))[..., None]
+    f = jnp.where(nanmask[..., None], 0.0, f)
+    pdf = d * mf.visible(dist, wo, alpha, alpha, dists) \
+        * jnp.abs(dot(wo, wh)) \
+        / jnp.maximum(jnp.abs(frame.cos_theta(wo)), 1e-20) \
+        / (4.0 * dot(wo, wh))
+    pdf = jnp.where(jnp.isfinite(pdf), pdf, 0.0)
+    pdf = jnp.where(wo[..., 2] * wi[..., 2] <= 0.0, 0.0, pdf)
+    return f, pdf
+
+
+def _ts_t_eval_pdf(c0, alpha, eta0, eta1, dist, wo, wi, dists=None):
+    same_side = wo[..., 2] * wi[..., 2] > 0.0
+    eta = jnp.where(wo[..., 2] > 0.0, _safe_ratio(eta1, eta0),
+                    _safe_ratio(eta0, eta1))
+    wh = normalize(wo + wi * eta[..., None])
+    wh_bad = ~jnp.all(jnp.isfinite(wh), axis=-1)
+    whp = jnp.where((wh[..., 2] < 0.0)[..., None], -wh, wh)
+    cosoh = dot(wo, whp)
+    fr = fresnel_dielectric(cosoh, eta0, eta1)
+    cosih = dot(wi, whp)
+    sqrt_denom = cosoh + eta * cosih
+    d = mf.distribution(dist, whp, alpha, alpha, dists)
+    g = mf.visible_both(dist, wo, wi, alpha, alpha, dists)
+    denom = (jnp.abs(frame.cos_theta(wo)) * jnp.abs(frame.cos_theta(wi))
+             * sqrt_denom * sqrt_denom)
+    val = c0 * _fin(d * g * (1.0 - fr) * jnp.abs(cosih)
+                    * jnp.abs(cosoh)
+                    / jnp.maximum(denom, 1e-20))[..., None]
+    val = jnp.where(wh_bad[..., None], 1.0, val)
+    f = jnp.where(same_side[..., None], 0.0, val)
+    # pdf uses the UN-flipped half vector exactly like _ts_t_pdf
+    cosoh_u = dot(wo, wh)
+    cosih_u = dot(wi, wh)
+    sqd_u = cosoh_u + eta * cosih_u
+    dhdi = eta * eta * jnp.abs(cosih_u) / jnp.maximum(
+        sqd_u * sqd_u, 1e-20)
+    d_u = mf.distribution(dist, wh, alpha, alpha, dists)
+    pdf = d_u * mf.visible(dist, wo, alpha, alpha, dists) \
+        * jnp.abs(cosoh_u) \
+        / jnp.maximum(jnp.abs(frame.cos_theta(wo)), 1e-20) * dhdi
+    pdf = jnp.where(wh_bad, 1.0, pdf)
+    pdf = jnp.where(wo[..., 2] * wi[..., 2] > 0.0, 0.0, pdf)
+    return f, pdf
+
+
+def _ashikhmin_eval_pdf(c0, c1, alpha, dist, wo, wi, dists=None):
+    wh_raw = wo + wi
+    degen = (wh_raw[..., 0]**2 + wh_raw[..., 1]**2
+             + wh_raw[..., 2]**2) < 1e-12
+    wh = normalize(jnp.where(degen[..., None], vec3(
+        jnp.ones_like(degen, jnp.float32), 0.0, 0.0), wh_raw))
+    term_o = 1.0 - (1.0 - 0.5 * jnp.abs(frame.cos_theta(wo))) ** 5
+    term_i = 1.0 - (1.0 - 0.5 * jnp.abs(frame.cos_theta(wi))) ** 5
+    diffuse = (28.0 / (23.0 * PI)) * c0 * (1.0 - c1) \
+        * (term_o * term_i)[..., None]
+    d = mf.distribution(dist, wh, alpha, alpha, dists)
+    cosih = dot(wi, wh)
+    denom = 4.0 * jnp.abs(cosih) * jnp.maximum(
+        jnp.abs(frame.cos_theta(wi)), jnp.abs(frame.cos_theta(wo)))
+    spec_f = _fin(d / jnp.maximum(denom, 1e-20))[..., None] \
+        * schlick_fresnel(cosih, c1)
+    f = jnp.where(degen[..., None], 0.0, diffuse + spec_f)
+    # pdf over the normalized wh of the ORIGINAL sum (as _ashikhmin_pdf)
+    wh_p = normalize(wo + wi)
+    p = mf.distribution(dist, wh_p, alpha, alpha, dists) \
+        * mf.visible(dist, wo, alpha, alpha, dists) \
+        * jnp.abs(dot(wo, wh_p)) \
+        / jnp.maximum(jnp.abs(frame.cos_theta(wo)), 1e-20) \
+        / (4.0 * dot(wo, wh_p))
+    p = jnp.where(jnp.isfinite(p), p, 0.0)
+    pdf = 0.5 * (p + jnp.abs(frame.cos_theta(wi)) * INV_PI)
+    pdf = jnp.where(wo[..., 2] * wi[..., 2] < 0.0, 0.0, pdf)
+    return f, pdf
+
+
+def slot_eval_pdf_fused(stype, c0, c1, p0, p1, p2, dist, wo, wi,
+                        present=None, dist_sets=None):
+    """(f, pdf) for one slot column in one family sweep, sharing the
+    per-family microfacet work.  Exactly slot_eval + slot_pdf\'s math;
+    the split functions remain the oracles
+    (tests/test_bxdf.py::TestFusedEvalPdf)."""
+    zero3 = jnp.zeros_like(c0)
+    zero1 = jnp.zeros(stype.shape, jnp.float32)
+    fd = lambda *ts: _fam_dists(dist_sets, *ts)
+    fams = (
+        (T_LAMBERT_R, lambda: (c0 * INV_PI, _cos_pdf_same(wo, wi))),
+        (T_OREN_NAYAR, lambda: (_oren_nayar_eval(c0, p0, p1, wo, wi),
+                                _cos_pdf_same(wo, wi))),
+        (T_LAMBERT_T, lambda: (c0 * INV_PI, _cos_pdf_opposite(wo, wi))),
+        (T_TS_R, lambda: _ts_r_eval_pdf(c0, p0, p1, p2, dist, wo, wi,
+                                        fd(T_TS_R))),
+        (T_TS_T, lambda: _ts_t_eval_pdf(c0, p0, p1, p2, dist, wo, wi,
+                                        fd(T_TS_T))),
+        (T_ASHIKHMIN, lambda: _ashikhmin_eval_pdf(
+            c0, c1, p0, dist, wo, wi, fd(T_ASHIKHMIN))),
+    )
+    f_out = zero3
+    p_out = zero1
+    for t, fn in fams:
+        if present is not None and t not in present:
+            continue
+        fv, pv = fn()
+        m = stype == t
+        f_out = jnp.where(m[..., None], fv, f_out)
+        p_out = jnp.where(m, pv, p_out)
+    return f_out, p_out
+
+
 # ---------------------------------------------------------------------------
 # per-slot sampling
 # ---------------------------------------------------------------------------
@@ -595,10 +720,9 @@ def bsdf_eval_pdf(b: BsdfSlots, wow, wiw, types: int = ALL):
         m = (kindk & types) != 0
         sel = m & ((is_refl & ((kindk & REFLECTION) != 0))
                    | (~is_refl & ((kindk & TRANSMISSION) != 0)))
-        fk = slot_eval(stype, c0, c1, p0, p1, p2, dist, wo, wi,
-                       present=pres, dist_sets=b.dists)
-        pk = slot_pdf(stype, p0, p1, p2, dist, wo, wi, present=pres,
-                      dist_sets=b.dists)
+        fk, pk = slot_eval_pdf_fused(
+            stype, c0, c1, p0, p1, p2, dist, wo, wi, present=pres,
+            dist_sets=b.dists)
         f = f + jnp.where(sel[..., None], fk, 0.0)
         total = total + jnp.where(m, jnp.maximum(pk, 0.0), 0.0)
         count = count + m.astype(jnp.int32)
@@ -676,10 +800,9 @@ def bsdf_sample(b: BsdfSlots, wow, u, types: int = ALL):
         sel = ((kindk & skind) != 0) & (
             (is_refl & ((kindk & REFLECTION) != 0))
             | (~is_refl & ((kindk & TRANSMISSION) != 0)))
-        fk = slot_eval(stype_k, c0, c1, p0, p1, p2, dist, wo, wi,
-                       present=pres, dist_sets=b.dists)
-        pk = slot_pdf(stype_k, p0, p1, p2, dist, wo, wi, present=pres,
-                      dist_sets=b.dists)
+        fk, pk = slot_eval_pdf_fused(
+            stype_k, c0, c1, p0, p1, p2, dist, wo, wi, present=pres,
+            dist_sets=b.dists)
         f_acc = f_acc + jnp.where(sel[..., None], fk, 0.0)
         pdf_acc = pdf_acc + jnp.where(sel, jnp.maximum(pk, 0.0), 0.0)
     f_out = jnp.where(multi[..., None], f_acc, f)

@@ -259,3 +259,43 @@ class TestMaterials:
             table, jnp.zeros((n,), jnp.int32), z, z, x)
         types = np.asarray(b.type)
         assert list(types[0]) == [T_FRESNEL_SPEC, 0, 0]
+
+
+class TestFusedEvalPdf:
+    """slot_eval_pdf_fused shares the per-family microfacet work; the
+    split slot_eval + slot_pdf remain the oracles."""
+
+    def test_matches_split_all_families(self):
+        import jax.numpy as jnp
+        from arendur_tpu.bxdf import slots as sl
+        from arendur_tpu.bxdf.types import (
+            T_LAMBERT_R, T_LAMBERT_T, T_OREN_NAYAR, T_TS_R, T_TS_T,
+            T_ASHIKHMIN, D_BECKMANN, D_TROWBRIDGE)
+        rng = np.random.default_rng(0)
+        n = 4096
+        types = np.array([T_LAMBERT_R, T_LAMBERT_T, T_OREN_NAYAR,
+                          T_TS_R, T_TS_T, T_ASHIKHMIN], np.int32)
+        stype = jnp.asarray(rng.choice(types, n), jnp.int32)
+        c0 = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+        c1 = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+        p0 = jnp.asarray(rng.uniform(0.05, 1.0, n), jnp.float32)
+        p1 = jnp.asarray(rng.uniform(1.0, 2.0, n), jnp.float32)
+        p2 = jnp.asarray(rng.uniform(1.0, 2.0, n), jnp.float32)
+        dist = jnp.asarray(rng.choice(
+            [D_BECKMANN, D_TROWBRIDGE], n), jnp.int32)
+
+        def rand_dirs():
+            v = rng.normal(size=(n, 3))
+            return jnp.asarray(
+                v / np.linalg.norm(v, axis=-1, keepdims=True),
+                jnp.float32)
+        wo = rand_dirs()
+        wi = rand_dirs()
+        f_s = sl.slot_eval(stype, c0, c1, p0, p1, p2, dist, wo, wi)
+        p_s = sl.slot_pdf(stype, p0, p1, p2, dist, wo, wi)
+        f_f, p_f = sl.slot_eval_pdf_fused(stype, c0, c1, p0, p1, p2,
+                                          dist, wo, wi)
+        np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_s),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_s),
+                                   rtol=2e-5, atol=2e-6)
