@@ -308,6 +308,17 @@ def bounce_shade(x, ltab, mtab, stab, presence, dist_sets, lcidx,
                  lpresent, emi_cols, min_depth, rr_threshold,
                  full_phi, interpret=False):
     """Kernelized bounce shade (see _body for the column contract)."""
+    if os.environ.get("ARENDUR_MEGA_NOOP") == "1":
+        # perf-ablation stub: pass rays through alive with unit
+        # occupancy so downstream work stays realistic
+        n = x.shape[0]
+        one = jnp.ones((n, 1), jnp.float32)
+        zero = jnp.zeros((n, 1), jnp.float32)
+        return jnp.concatenate([
+            x[:, _O], x[:, _D], jnp.zeros((n, 3)), x[:, _BETA],
+            one, zero, zero, zero, one,
+            x[:, _O], x[:, _D], one, one,
+            jnp.zeros((n, 3)), jnp.zeros((n, OUT_COLS - 28))], axis=1)
     return _run(x, ltab, mtab, stab, presence, dist_sets, lcidx,
                 lpresent, emi_cols, min_depth, rr_threshold, full_phi,
                 interpret)
