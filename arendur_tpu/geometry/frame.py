@@ -67,7 +67,14 @@ def sin2_phi(w):
 def acos_poly(x):
     """Polynomial acos over [-1,1] (A&S 4.4.45, max err ~7e-5 rad).
     Shared by the XLA and Pallas shade paths — Mosaic has no acos
-    lowering, and sharing one approximation keeps them bit-identical."""
+    lowering, and sharing one approximation keeps them bit-identical.
+
+    Accepted deviation: the ~7e-5 rad bound applies on EVERY backend,
+    including CPU/XLA sites where the exact op would be free (sphere
+    phi-clip, sphere uv, NEE cone sampling).  It introduces a
+    systematic positional error of ~7e-5 x radius at partial-sphere
+    clip boundaries — 3+ orders below render noise at any tested spp,
+    and the golden/parity gates are calibrated with it in place."""
     xa = jnp.clip(jnp.abs(x), 0.0, 1.0)
     p = -0.0187293
     for c in (0.0742610, -0.2121144, 1.5707288):

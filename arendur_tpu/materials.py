@@ -255,28 +255,34 @@ def resolve_params(table: MaterialTable, mat_id, ns, ng, dpdu,
     return mtype, kd, ks, sigma, roughness, eta, dissolve, ns, dpdu
 
 
+# Which microfacet distribution each material recipe assigns to each
+# microfacet-bearing slot type.  This is the SINGLE source of truth:
+# build_slots reads its dist values from here and dist_presence derives
+# the static pruning sets from it, so they cannot silently diverge
+# (plastic AS = Beckmann per plastic.rs:39-64; glass TS and translucent
+# AS = Trowbridge per glass.rs:41-81 / translucent.rs:41-75).
+RECIPE_DISTS = {
+    M_PLASTIC: {T_ASHIKHMIN: D_BECKMANN},
+    M_GLASS: {T_TS_R: D_TROWBRIDGE, T_TS_T: D_TROWBRIDGE},
+    M_TRANSLUCENT: {T_ASHIKHMIN: D_TROWBRIDGE},
+}
+
+
 def dist_presence(table: MaterialTable):
-    """Static per-family microfacet-distribution sets (BsdfSlots.dists):
-    the recipes only ever place Trowbridge in the glass TS slots,
-    Beckmann in plastic's Ashikhmin and Trowbridge in translucent's —
-    so single-model families drop the other model's code entirely
-    (e.g. the Beckmann Newton solver vanishes from the TS sweeps)."""
+    """Static per-family microfacet-distribution sets (BsdfSlots.dists),
+    derived from RECIPE_DISTS restricted to the material types present —
+    single-model families drop the other model's code entirely (e.g.
+    the Beckmann Newton solver vanishes from the TS sweeps)."""
     try:
         mtype = np.asarray(table.mtype)
     except Exception:
         return None
     out = {}
-    if (mtype == M_GLASS).any():
-        out[T_TS_R] = (D_TROWBRIDGE,)
-        out[T_TS_T] = (D_TROWBRIDGE,)
-    as_d = set()
-    if (mtype == M_PLASTIC).any():
-        as_d.add(D_BECKMANN)
-    if (mtype == M_TRANSLUCENT).any():
-        as_d.add(D_TROWBRIDGE)
-    if as_d:
-        out[T_ASHIKHMIN] = tuple(sorted(as_d))
-    return tuple(sorted(out.items()))
+    for mt, slots in RECIPE_DISTS.items():
+        if (mtype == mt).any():
+            for stype, dist in slots.items():
+                out.setdefault(stype, set()).add(dist)
+    return tuple(sorted((k, tuple(sorted(v))) for k, v in out.items()))
 
 
 def compute_scattering(table: MaterialTable, mat_id, ns, ng, dpdu,
@@ -357,7 +363,8 @@ def build_slots(mtype, kd, ks, sigma, roughness, eta, dissolve,
     plastic = mtype == M_PLASTIC
     put(0, plastic, T_ASHIKHMIN,
         c0=jnp.clip(kd, 0.0, 1.0), c1=jnp.clip(ks, 0.0, 1.0),
-        p0=alpha, dist=jnp.full((n,), D_BECKMANN, jnp.int32))
+        p0=alpha, dist=jnp.full(
+            (n,), RECIPE_DISTS[M_PLASTIC][T_ASHIKHMIN], jnp.int32))
 
     # --- Glass (glass.rs:41-81) -----------------------------------------
     glass = mtype == M_GLASS
@@ -367,7 +374,7 @@ def build_slots(mtype, kd, ks, sigma, roughness, eta, dissolve,
     #   spec & diff  -> [Fresnel, TS-R, TS-T]
     #   spec only    -> [Fresnel]
     #   diff only    -> [TS-R, TS-T]
-    tr = jnp.full((n,), D_TROWBRIDGE, jnp.int32)
+    tr = jnp.full((n,), RECIPE_DISTS[M_GLASS][T_TS_R], jnp.int32)
     put(0, g_spec, T_FRESNEL_SPEC, c0=ks, c1=ks, p0=one, p1=eta)
     put(0, g_diff & ~g_spec, T_TS_R, c0=kd, p0=alpha, p1=one, p2=eta,
         dist=tr)
@@ -385,7 +392,8 @@ def build_slots(mtype, kd, ks, sigma, roughness, eta, dissolve,
     put(0, t_as, T_ASHIKHMIN,
         c0=jnp.clip(kd * dissolve[..., None], 0.0, 1.0),
         c1=jnp.clip(ks * dissolve[..., None], 0.0, 1.0),
-        p0=alpha, dist=jnp.full((n,), D_TROWBRIDGE, jnp.int32))
+        p0=alpha, dist=jnp.full(
+            (n,), RECIPE_DISTS[M_TRANSLUCENT][T_ASHIKHMIN], jnp.int32))
     put(0, t_lt & ~t_as, T_LAMBERT_T,
         c0=kd * (1.0 - dissolve[..., None]))
     put(1, t_lt & t_as, T_LAMBERT_T,

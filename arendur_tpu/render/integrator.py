@@ -173,7 +173,10 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
     # host-static checks BEFORE as_jax: inside a trace, converted
     # leaves become tracers and np.asarray on them throws
     use_mega, mega_full_phi = _mega_eligible(scene, config)
+    use_cbounce = False
     if use_mega:
+        from arendur_tpu.render import cbounce as _cb
+        use_cbounce = _cb.eligible(scene)
         from arendur_tpu import materials as _mats
         mega_presence = _mats.slot_presence(scene.materials)
         mega_dists = _mats.dist_presence(scene.materials)
@@ -229,6 +232,8 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
             from arendur_tpu.sampling.sobol import sobol_uniform
             return sobol_uniform(config.sobol_table, base_key,
                                  st["pid"], st["sid"], dim)
+        if config.sampler == "uniform":
+            return smp.uniform_1d(st["keys"], dim)
         return smp.stratified_1d(st["keys"], config.spp, dim)
 
     def draw2(st, dim):
@@ -236,7 +241,7 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
             from arendur_tpu.sampling.sobol import sobol_uniform_2d
             return sobol_uniform_2d(config.sobol_table, base_key,
                                     st["pid"], st["sid"], dim)
-        if grid_ok:
+        if grid_ok and config.sampler != "uniform":
             return smp.stratified_2d(st["keys"], config.sample_dx,
                                      config.sample_dy, dim)
         return smp.uniform_2d(st["keys"], dim)
@@ -298,13 +303,26 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
             ltab = jnp.asarray(mega_pk)
             mtab = mats.param_table(scene.materials)
             stab = sphmod.shade_table(scene.spheres)
-            with jax.named_scope("pt_shade_mega"):
-                out = pb.bounce_shade(
-                    x, ltab, mtab, stab, mega_presence, mega_dists,
-                    mega_lcidx, mega_lpresent, mega_emi,
-                    config.min_depth, float(config.rr_threshold),
-                    mega_full_phi, pb.default_interpret())
-            r = pb.unpack_out(out)
+            if use_cbounce:
+                # component-form (lane-transposed) kernel: full vreg
+                # occupancy on every vector op (render/cbounce.py)
+                from arendur_tpu.render import cbounce as cb
+                with jax.named_scope("pt_shade_mega"):
+                    out_t = cb.bounce_shade_t(
+                        x.T, ltab, mtab, stab, mega_presence,
+                        mega_dists, mega_lcidx, mega_lpresent,
+                        mega_emi, config.min_depth,
+                        float(config.rr_threshold), mega_full_phi,
+                        pb.default_interpret())
+                r = cb.unpack_out_t(out_t)
+            else:
+                with jax.named_scope("pt_shade_mega"):
+                    out = pb.bounce_shade(
+                        x, ltab, mtab, stab, mega_presence, mega_dists,
+                        mega_lcidx, mega_lpresent, mega_emi,
+                        config.min_depth, float(config.rr_threshold),
+                        mega_full_phi, pb.default_interpret())
+                r = pb.unpack_out(out)
             with jax.named_scope("pt_light_calculation"):
                 blocked = sc.occluded(scene, r["sh_o"], r["sh_d"],
                                       r["sh_t"], n_alive=n_alive)

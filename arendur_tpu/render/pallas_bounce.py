@@ -92,7 +92,13 @@ def _select_rows(tab, idx):
     r = tab.shape[0]
     oh = (jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], r), 1)
           == idx[:, None]).astype(jnp.float32)
-    return jnp.dot(oh, tab, preferred_element_type=jnp.float32)
+    # HIGHEST precision: the default f32 matmul rounds operands to
+    # bf16-class mantissas on real TPU (see geometry/transform.py:26),
+    # which would corrupt every selected table row (light positions,
+    # sphere o2w transforms, material params); CPU interpret-mode
+    # parity can't catch it because CPU matmuls are exact f32.
+    return jnp.dot(oh, tab, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _body(x, ltab, mtab, stab, *, presence, dist_sets, lcidx, lpresent,

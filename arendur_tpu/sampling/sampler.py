@@ -195,6 +195,9 @@ class WaveSampler:
     (the reference's StrataSampler in distribution).
     kind "sobol": XOR-scrambled Sobol across all dimensions
     (capability extension; benchmark config 4).
+    kind "uniform": independent uniforms everywhere (the reference's
+    Naive sampler, sample/naive.rs — also the control arm of the
+    stratification variance gate, tests/test_sampling.py).
     """
 
     def __init__(self, base_key, pixel_id, sample_id, kind="strata",
@@ -223,7 +226,7 @@ class WaveSampler:
         return uniform_2d(self.keys, dim)
 
     def film_jitter(self):
-        if self.kind == "sobol":
+        if self.kind in ("sobol", "uniform"):
             return self.u2(0)
         return stratified_film_sample(
             self.keys, self.sample_id, self.dx, self.dy, dim=0)

@@ -27,9 +27,15 @@ PI = float(jnp.pi)
 # The reference samples spheres uniformly in (theta, phi) while
 # reporting pdf = 1/area (sphere.rs:304-317) — biased area sampling
 # (e.g. a lambertian plane under a small emissive sphere receives 5/3
-# the correct radiance).  True reproduces that; False uses correct
-# area-uniform sampling.
-THETA_UNIFORM_COMPAT = True
+# the correct radiance).  True (the default) reproduces the reference
+# exactly — this is the PARITY mode, since the golden image was
+# rendered with the biased sampler; ARENDUR_SPHERE_THETA=area switches
+# to correct area-uniform sampling (tools/measure_theta_bias.py
+# quantifies the difference on the Cornell golden config; see
+# tests/test_golden.py for the measured numbers).
+import os as _os
+THETA_UNIFORM_COMPAT = \
+    _os.environ.get("ARENDUR_SPHERE_THETA", "compat") != "area"
 
 
 @struct.dataclass

@@ -125,7 +125,11 @@ class AtlasBuilder:
                            ((img + 0.055) / 1.055) ** 2.4)
         levels = [img]
         while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
-            levels.append(_downsample2(levels[-1]))
+            # clamp the windowed-sinc ringing: Lanczos3 undershoots
+            # below zero at hard edges, and a negative kd/ks texel
+            # would flow into BSDF colors as negative radiance (pbrt
+            # clamps resampled texels for the same reason)
+            levels.append(np.maximum(_downsample2(levels[-1]), 0.0))
         self.images.append(dict(levels=levels, wrap=wrap, scale=scale,
                                 uv_scale=uv_scale, uv_shift=uv_shift))
         return len(self.images) - 1

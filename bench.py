@@ -90,11 +90,62 @@ def inner():
     assert np.isfinite(img).all(), "render produced non-finite pixels"
     assert img.max() > 0.01, "render is black"
 
+    # ---- fwd+bwd: one material-optimization step per wave ----------
+    # (BASELINE.json's metric is rays/s/chip forward+backward; this
+    # measures jax.value_and_grad of the film-MSE w.r.t. the material
+    # kd column through the full differentiable wave)
+    target = jnp.asarray(img.reshape(-1, 3))
+    kd0 = jnp.asarray(scene.materials.kd)
+
+    @jax.jit
+    def train_wave(kd, ray_idx):
+        scene2 = scene.replace(materials=scene.materials.replace(kd=kd))
+        pixel_id = ray_idx // spp
+        sample_id = ray_idx % spp
+        px = (pixel_id % w).astype(jnp.float32)
+        py = (pixel_id // w).astype(jnp.float32)
+        pixel_xy = jnp.stack([px, py], -1)
+
+        def loss_fn(kd_):
+            sc3 = scene2.replace(
+                materials=scene2.materials.replace(kd=kd_))
+            pfilm, L = integ.trace_wave(
+                sc3, camera, config, pixel_xy,
+                pixel_id.astype(jnp.int32), sample_id.astype(jnp.int32),
+                base_key)
+            st = flm.film_init(film_cfg)
+            st = flm.film_splat(film_cfg, st, pfilm, L,
+                                mask=ray_idx < total)
+            img2 = jnp.where(
+                (st.weight > 0.0)[:, None],
+                st.rgb / jnp.maximum(st.weight, 1e-8)[:, None], 0.0)
+            return jnp.mean((img2 - target) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(kd)
+        return kd - 0.05 * g, loss
+
+    fwd_bwd_paths_per_s = 0.0
+    try:
+        train_wave_c = utils.compile_tpu(train_wave, kd0, idx0)
+        kd, _ = train_wave_c(kd0, idx0)      # warmup/compile
+        jax.block_until_ready(kd)
+        reps = 3
+        t0 = time.perf_counter()
+        for i in range(1, reps + 1):
+            idx = (i % n_waves) * wave + jnp.arange(wave, dtype=jnp.int32)
+            kd, _ = train_wave_c(kd, idx)
+        jax.block_until_ready(kd)
+        dt_b = time.perf_counter() - t0
+        fwd_bwd_paths_per_s = reps * wave / max(dt_b, 1e-9)
+    except Exception as e:                     # pragma: no cover
+        sys.stderr.write(f"[bench] fwd+bwd leg failed: {e}\n")
+
     print(MARK + json.dumps({
         "metric": "cornell_pt_paths_per_s",
         "value": round(float(paths_per_s), 2),
         "unit": "paths/s (256x256, 16spp, depth8, NEE+MIS)",
         "vs_baseline": round(float(paths_per_s / BASELINE_PATHS_PER_S), 4),
+        "fwd_bwd_paths_per_s": round(float(fwd_bwd_paths_per_s), 2),
     }), flush=True)
 
 

@@ -299,3 +299,47 @@ class TestFusedEvalPdf:
                                    rtol=2e-5, atol=2e-6)
         np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_s),
                                    rtol=2e-5, atol=2e-6)
+
+
+class TestDistPresenceCrossCheck:
+    def test_dist_presence_matches_build_slots_emissions(self):
+        """dist_presence's static pruning sets must cover the dist
+        values build_slots actually emits per slot type (ADVICE r4: the
+        coupling between the recipes and the pruning table was silent;
+        both now read materials.RECIPE_DISTS, and this gate would catch
+        a recipe changing its distribution without the table)."""
+        import jax.numpy as jnp
+        from arendur_tpu import materials as mats
+        from arendur_tpu.bxdf.types import T_TS_R, T_TS_T, T_ASHIKHMIN
+        rows = [
+            dict(mtype=mats.M_MATTE, kd=(0.5, 0.5, 0.5), sigma=0.3),
+            dict(mtype=mats.M_PLASTIC, kd=(0.4, 0.4, 0.4),
+                 ks=(0.6, 0.6, 0.6), roughness=0.2),
+            dict(mtype=mats.M_GLASS, kd=(0.2, 0.2, 0.2),
+                 ks=(0.9, 0.9, 0.9), roughness=0.1, eta=1.5),
+            dict(mtype=mats.M_TRANSLUCENT, kd=(0.5, 0.5, 0.5),
+                 ks=(0.3, 0.3, 0.3), roughness=0.3, dissolve=0.5),
+        ]
+        table = mats.make_material_table(rows)
+        declared = dict(mats.dist_presence(table))
+        n = len(rows)
+        z = jnp.zeros((n, 3), jnp.float32)
+        up = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+                      (n, 1))
+        du = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32),
+                      (n, 1))
+        bsdf = mats.build_slots(
+            jnp.asarray(table.mtype), jnp.asarray(table.kd),
+            jnp.asarray(table.ks), jnp.asarray(table.sigma),
+            jnp.asarray(table.roughness), jnp.asarray(table.eta),
+            jnp.asarray(table.dissolve), up, up, du,
+            presence=mats.slot_presence(table))
+        stype = np.asarray(bsdf.type)
+        dists = np.asarray(bsdf.dist)
+        for t in (T_TS_R, T_TS_T, T_ASHIKHMIN):
+            emitted = set(np.unique(dists[stype == t]).tolist())
+            if emitted:
+                assert t in declared, \
+                    f"type {t} emitted but not in dist_presence"
+                assert emitted <= set(declared[t]), \
+                    (t, emitted, declared[t])

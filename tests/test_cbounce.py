@@ -1,0 +1,275 @@
+"""Parity gates for the component-form (lane-transposed) bounce
+kernel (render/cbounce.py + render/cmath.py).
+
+The component formulation forks the kernel math from the shared
+row-level functions, so parity is BY TEST (VERDICT r4 item 1): the
+row-form functions are the oracles at every level —
+
+* randomized-slots BSDF fuzz vs bxdf/slots.py,
+* full-body fuzz vs pallas_bounce._body on the Cornell tables,
+* interpret-mode kernel vs the plain-XLA component body,
+* gradient parity of the custom_vjp vs the row-form vjp.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from arendur_tpu import materials as mats
+from arendur_tpu import scene as sc
+from arendur_tpu.bxdf import slots as sl
+from arendur_tpu.bxdf.types import (
+    ALL, D_BECKMANN, D_TROWBRIDGE,
+    T_LAMBERT_R, T_LAMBERT_T, T_OREN_NAYAR, T_FRESNEL_SPEC,
+    T_TS_R, T_TS_T, T_ASHIKHMIN)
+from arendur_tpu.render import cmath as cm
+from arendur_tpu.render import cbounce as cb
+from arendur_tpu.render import pallas_bounce as pb
+from arendur_tpu.shapes import sphere as sph
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _unit(rng, n):
+    v = rng.normal(size=(n, 3))
+    return (v / np.linalg.norm(v, axis=-1, keepdims=True)).astype(
+        np.float32)
+
+
+def _t3(a):
+    """[N,3] -> component tuple."""
+    a = jnp.asarray(a)
+    return (a[:, 0], a[:, 1], a[:, 2])
+
+
+def _s3(t):
+    return np.stack([np.asarray(t[0]), np.asarray(t[1]),
+                     np.asarray(t[2])], -1)
+
+
+class TestSlotFuzz:
+    """Randomized-slots fuzz of the component BSDF math vs slots.py."""
+
+    def _slot_inputs(self, seed=0, n=4096):
+        rng = np.random.default_rng(seed)
+        types = np.array([T_LAMBERT_R, T_LAMBERT_T, T_OREN_NAYAR,
+                          T_FRESNEL_SPEC, T_TS_R, T_TS_T, T_ASHIKHMIN],
+                         np.int32)
+        stype = jnp.asarray(rng.choice(types, n), jnp.int32)
+        c0 = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+        c1 = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+        p0 = jnp.asarray(rng.uniform(0.05, 1.0, n), jnp.float32)
+        p1 = jnp.asarray(rng.uniform(1.0, 2.0, n), jnp.float32)
+        p2 = jnp.asarray(rng.uniform(1.0, 2.0, n), jnp.float32)
+        dist = jnp.asarray(rng.choice([D_BECKMANN, D_TROWBRIDGE], n),
+                           jnp.int32)
+        wo = jnp.asarray(_unit(rng, n))
+        wi = jnp.asarray(_unit(rng, n))
+        u = jnp.asarray(rng.uniform(0, 1, (n, 2)), jnp.float32)
+        return stype, c0, c1, p0, p1, p2, dist, wo, wi, u
+
+    def test_eval_pdf_fused(self):
+        stype, c0, c1, p0, p1, p2, dist, wo, wi, _ = self._slot_inputs()
+        f_r, p_r = sl.slot_eval_pdf_fused(stype, c0, c1, p0, p1, p2,
+                                          dist, wo, wi)
+        f_c, p_c = cm.slot_eval_pdf_fused(
+            stype, _t3(c0), _t3(c1), p0, p1, p2, dist, _t3(wo),
+            _t3(wi))
+        np.testing.assert_allclose(_s3(f_c), np.asarray(f_r),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_r),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_sample(self):
+        stype, c0, c1, p0, p1, p2, dist, wo, _, u = self._slot_inputs(1)
+        f_r, wi_r, p_r, k_r = sl.slot_sample(stype, c0, c1, p0, p1, p2,
+                                             dist, wo, u)
+        f_c, wi_c, p_c, k_c = cm.slot_sample(
+            stype, _t3(c0), _t3(c1), p0, p1, p2, dist, _t3(wo),
+            (u[:, 0], u[:, 1]))
+        np.testing.assert_array_equal(np.asarray(k_c), np.asarray(k_r))
+        np.testing.assert_allclose(_s3(wi_c), np.asarray(wi_r),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_r),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(_s3(f_c), np.asarray(f_r),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_sample_wh_beckmann_and_tr(self):
+        rng = np.random.default_rng(2)
+        n = 2048
+        wo = jnp.asarray(_unit(rng, n))
+        u = jnp.asarray(rng.uniform(0, 1, (n, 2)), jnp.float32)
+        al = jnp.asarray(rng.uniform(0.05, 1.0, n), jnp.float32)
+        from arendur_tpu.bxdf import microfacet as mf
+        for d in (D_BECKMANN, D_TROWBRIDGE):
+            dist = jnp.full((n,), d, jnp.int32)
+            wh_r = mf.sample_wh(dist, wo, u, al, al, (d,))
+            wh_c = cm.mf_sample_wh(dist, _t3(wo), (u[:, 0], u[:, 1]),
+                                   al, al, (d,))
+            np.testing.assert_allclose(_s3(wh_c), np.asarray(wh_r),
+                                       rtol=2e-5, atol=2e-6)
+
+
+class _CornellCfg:
+    """Shared Cornell-table kernel configuration."""
+
+    def __init__(self):
+        from arendur_tpu.io import scenedesc
+        scene, *_ = scenedesc.parse_scene(
+            os.path.join(REPO, "examples/cornellbox/cb.json"))
+        self.scene = scene
+        pk, cidx, present = sc.light_pack(scene)
+        self.ltab = jnp.asarray(pk)
+        self.mtab = jnp.asarray(mats.param_table(scene.materials))
+        self.stab = jnp.asarray(sph.shade_table(scene.spheres))
+        self.lcidx = tuple(sorted(cidx.items()))
+        self.emi = tuple(cidx["emission"])
+        self.lpresent = present
+        self.presence = mats.slot_presence(scene.materials)
+        self.dists = mats.dist_presence(scene.materials)
+        phimax = np.asarray(scene.spheres.phimax)
+        self.full_phi = bool((phimax >= 2.0 * np.pi - 1e-5).all())
+
+    def args(self):
+        return (self.presence, self.dists, self.lcidx, self.lpresent,
+                self.emi, 4, 0.05, self.full_phi)
+
+
+def _fuzz_x(cfg, seed=0, n=2048):
+    """Semantically-plausible random bounce input rows."""
+    rng = np.random.default_rng(seed)
+    n_m = int(np.asarray(cfg.mtab).shape[0])
+    n_s = int(np.asarray(cfg.stab).shape[0])
+    n_l = int(np.asarray(cfg.ltab).shape[0])
+    o = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    d = _unit(rng, n)
+    t = rng.uniform(0.1, 3.0, n).astype(np.float32)
+    hit = (rng.uniform(size=n) < 0.9).astype(np.float32)
+    is_sph = (rng.uniform(size=n) < 0.3).astype(np.float32)
+    s_idx = rng.integers(0, n_s, n).astype(np.float32)
+    radius = np.asarray(cfg.stab)[s_idx.astype(int), 16]
+    p_local = _unit(rng, n) * radius[:, None]
+    v0 = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    v1 = v0 + _unit(rng, n) * 0.7
+    v2 = v0 + _unit(rng, n) * 0.7
+    nrm = np.stack([_unit(rng, n)] * 3, 1).reshape(n, 9)
+    uvs = rng.uniform(0, 1, (n, 6)).astype(np.float32)
+    tmat = rng.integers(0, n_m, n).astype(np.float32)
+    tlight = np.where(rng.uniform(size=n) < 0.15,
+                      rng.integers(0, n_l, n), -1).astype(np.float32)
+    trow = np.concatenate(
+        [v0, v1, v2, nrm, uvs, tmat[:, None], tlight[:, None]], 1)
+    beta = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    L = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    spec = (rng.uniform(size=n) < 0.3).astype(np.float32)
+    sel_prev = rng.integers(0, n_l, n).astype(np.float32)
+    wb_prev = rng.uniform(0, 1, n).astype(np.float32)
+    nee_prev = (rng.uniform(size=n) < 0.5).astype(np.float32)
+    alive = (rng.uniform(size=n) < 0.95).astype(np.float32)
+    lidx = rng.integers(0, n_l, n).astype(np.float32)
+    selpdf = rng.uniform(0.2, 1.0, n).astype(np.float32)
+    u_l = rng.uniform(0, 1, (n, 2)).astype(np.float32)
+    u_b = rng.uniform(0, 1, (n, 2)).astype(np.float32)
+    u_rr = rng.uniform(0, 1, n).astype(np.float32)
+    bounce = rng.integers(0, 8, n).astype(np.float32)
+    x = np.concatenate([
+        o, d, t[:, None], hit[:, None], is_sph[:, None],
+        s_idx[:, None], p_local, trow, beta, L, spec[:, None],
+        sel_prev[:, None], wb_prev[:, None], nee_prev[:, None],
+        alive[:, None], lidx[:, None], selpdf[:, None], u_l, u_b,
+        u_rr[:, None], bounce[:, None]], 1)
+    assert x.shape[1] == pb.IN_COLS
+    return jnp.asarray(x)
+
+
+class TestBodyParity:
+    def test_component_body_matches_row_body(self):
+        """Full-body fuzz: cbounce.xla_reference vs pallas_bounce._body
+        on the Cornell tables."""
+        cfg = _CornellCfg()
+        for seed in (0, 1, 2):
+            x = _fuzz_x(cfg, seed)
+            out_r = pb.xla_reference(x, cfg.ltab, cfg.mtab, cfg.stab,
+                                     *cfg.args())
+            out_c = cb.xla_reference(x.T, cfg.ltab, cfg.mtab, cfg.stab,
+                                     *cfg.args())
+            r = np.asarray(out_r)
+            c = np.asarray(out_c).T
+            # shadow-direction columns divide by tiny distances on
+            # degenerate fuzz lanes; compare those with a looser rel
+            np.testing.assert_allclose(c, r, rtol=5e-4, atol=5e-5)
+
+    def test_kernel_interpret_matches_xla_reference(self):
+        cfg = _CornellCfg()
+        x = _fuzz_x(cfg, 3, n=512)
+        out_x = jax.jit(cb.xla_reference, static_argnums=range(4, 12))(
+            x.T, cfg.ltab, cfg.mtab, cfg.stab, *cfg.args())
+        out_k = cb.bounce_shade_t(x.T, cfg.ltab, cfg.mtab, cfg.stab,
+                                  *cfg.args(), True)
+        a = np.asarray(out_k)
+        b = np.asarray(out_x)
+        close = np.isclose(a, b, rtol=2e-5, atol=2e-6)
+        # fuzz lanes landing exactly on discrete decision boundaries
+        # (sample-branch selects) may flip under different fusion; the
+        # continuous math must agree on essentially every lane, and the
+        # full-render pipeline gate (TestMegaBouncePipeline) bounds the
+        # integrated effect
+        frac = close.mean()
+        assert frac > 0.999, f"only {frac:.6f} of elements match"
+
+    def test_grad_matches_row_kernel(self):
+        """d(out)/d(mtab, ltab) parity of the two custom_vjp paths.
+
+        The fuzz rows are adversarial (e.g. shading points exactly on
+        a light sphere), and the ROW oracle's own vjp yields NaN table
+        entries there — positions a real render never produces
+        (test_grad.py asserts finite grads end-to-end).  The gate here:
+        identical values wherever the oracle is finite, and the
+        component path introduces NO NaN the oracle doesn't have."""
+        cfg = _CornellCfg()
+        x = _fuzz_x(cfg, 4, n=512)
+
+        def loss_row(mtab, ltab):
+            # grad path == pb.bounce_shade's custom_vjp (vjp over
+            # _body); calling the body directly skips the interpret-
+            # mode forward, which dominates test time
+            out = pb.xla_reference(x, ltab, mtab, cfg.stab, *cfg.args())
+            return jnp.sum(out[:, 6:12]) + jnp.sum(out[:, 25:28])
+
+        def loss_comp(mtab, ltab):
+            # through the full custom_vjp wiring (interpret forward)
+            out = cb.bounce_shade_t(x.T, ltab, mtab, cfg.stab,
+                                    *cfg.args(), True)
+            return jnp.sum(out[6:12]) + jnp.sum(out[25:28])
+
+        gm_r, gl_r = jax.grad(loss_row, argnums=(0, 1))(
+            cfg.mtab, cfg.ltab)
+        gm_c, gl_c = jax.grad(loss_comp, argnums=(0, 1))(
+            cfg.mtab, cfg.ltab)
+
+        def gate(c, r, name):
+            c, r = np.asarray(c), np.asarray(r)
+            fin_r = np.isfinite(r)
+            fin_c = np.isfinite(c)
+            assert (fin_c | ~fin_r).all(), \
+                f"{name}: component grad NaN where oracle is finite"
+            m = fin_r & fin_c
+            assert m.mean() > 0.5, f"{name}: too few finite entries"
+            np.testing.assert_allclose(c[m], r[m], rtol=1e-3,
+                                       atol=1e-3, err_msg=name)
+
+        gate(gm_c, gm_r, "d/d mtab")
+        gate(gl_c, gl_r, "d/d ltab")
+
+
+class TestCRow:
+    def test_row_select(self):
+        tab = jnp.asarray(np.arange(12, dtype=np.float32).reshape(4, 3))
+        idx = jnp.asarray([0, 3, 1, 2, 3], jnp.int32)
+        row = cb.CRow(lambda r, c: tab[r, c], 4, idx)
+        got = np.asarray(row.col_abs(2))
+        np.testing.assert_array_equal(got, [2.0, 11.0, 5.0, 8.0, 11.0])

@@ -170,9 +170,27 @@ class TestMegaBouncePipeline:
 
     @pytest.mark.slow
     def test_full_kernel_pipeline_parity(self, monkeypatch):
+        """Row-form mega kernel (ARENDUR_CBOUNCE=0 forces it; the
+        component kernel has its own gate below)."""
         ref = self._render({}, monkeypatch)
         img = self._render({"ARENDUR_SHADE": "pallas",
                             "ARENDUR_INTERSECT": "pallas",
+                            "ARENDUR_CBOUNCE": "0",
+                            "ARENDUR_PALLAS_INTERPRET": "1"},
+                           monkeypatch)
+        assert ref.mean() > 0.01
+        np.testing.assert_allclose(img, ref, atol=2e-3)
+
+    @pytest.mark.slow
+    def test_cbounce_kernel_pipeline_parity(self, monkeypatch):
+        """Component-form (lane-transposed) mega kernel
+        (render/cbounce.py, the default on TPU) against the XLA
+        composition — the end-to-end leg of the cbounce parity
+        harness (tests/test_cbounce.py has the per-stage fuzz)."""
+        ref = self._render({}, monkeypatch)
+        img = self._render({"ARENDUR_SHADE": "pallas",
+                            "ARENDUR_INTERSECT": "pallas",
+                            "ARENDUR_CBOUNCE": "1",
                             "ARENDUR_PALLAS_INTERPRET": "1"},
                            monkeypatch)
         assert ref.mean() > 0.01

@@ -1,6 +1,7 @@
 """Tests for warps, MIS heuristics, distributions, filters, sampler."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -244,3 +245,40 @@ class TestStratifiedBounceDims:
         u_s = np.asarray(smp.stratified_1d(keys, 6, 3))
         u_i = np.asarray(smp.uniform_1d(keys, 3))
         np.testing.assert_array_equal(u_s, u_i)
+
+
+@pytest.mark.slow
+def test_stratification_reduces_render_variance():
+    """End-to-end variance gate (VERDICT r4 item 7): same-spp Cornell
+    MSE against the golden image must be LOWER with the stratified
+    sampler than with independent uniforms (kind="uniform", the
+    reference's Naive-sampler analogue).  Mean over 3 seeds bounds MC
+    flakiness; the stratified win on the film + bounce dims is ~2x in
+    MSE at 8 spp, far above seed noise."""
+    import dataclasses
+    import os
+    import jax.numpy as jnp
+    from arendur_tpu.io import scenedesc
+    from arendur_tpu.render import integrator as integ
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    golden = np.load(os.path.join(
+        REPO, "tests/data/cornell_golden_128x96.npy"))
+    h, w, _ = golden.shape
+    g64 = golden.reshape(h // 2, 2, w // 2, 2, 3).mean((1, 3))
+
+    def mse(sampler, seed):
+        scene, camera, film_cfg, config, _ = scenedesc.parse_scene(
+            os.path.join(REPO, "examples/cornellbox/cb.json"),
+            spp_override=8, resolution_override=(64, 48))
+        config = dataclasses.replace(
+            config, max_depth=8, wave_size=64 * 48 * 8,
+            sampler=sampler, seed=seed,
+            sample_dx=4, sample_dy=2)
+        img = np.clip(np.asarray(integ.render(
+            scene, camera, film_cfg, config)), 0.0, 1.0)
+        return float(((img - g64) ** 2).mean())
+
+    seeds = (0, 1, 2)
+    m_strata = np.mean([mse("strata", s) for s in seeds])
+    m_unif = np.mean([mse("uniform", s) for s in seeds])
+    assert m_strata < m_unif, (m_strata, m_unif)

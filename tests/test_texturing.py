@@ -331,6 +331,19 @@ class TestLanczos3Mipmaps:
         # transition still sharp: one texel from ~0 to ~1
         assert row[7] < 0.1 and row[8] > 0.9
 
+    def test_built_pyramid_levels_are_non_negative(self):
+        """The raw Lanczos3 decimation rings below zero at hard edges
+        (previous test); the *stored* pyramid must clamp it so a
+        negative kd/ks can never reach a BSDF color (pbrt clamps
+        resampled texels for the same reason)."""
+        from arendur_tpu.texturing import texture as tx
+        img = np.zeros((32, 32, 3), np.float32)
+        img[:, 16:] = 1.0
+        b = tx.AtlasBuilder()
+        b.add_image(img)
+        atlas = b.build()
+        assert float(np.asarray(atlas.texels).min()) >= 0.0
+
     def test_pyramid_reaches_1x1_odd_sizes(self):
         from arendur_tpu.texturing import texture as tx
         b = tx.AtlasBuilder()
