@@ -615,38 +615,19 @@ def build_slots(mtype, kd, ks, sigma, rough, eta, dissolve,
 # the bounce body (twin: pallas_bounce._body)
 # ---------------------------------------------------------------------------
 
-def cbody(col, lt_at, mt_at, st_at, n_l, n_m, n_s, *, presence,
-          dist_sets, lcidx, lpresent, emi_cols, min_depth,
-          rr_threshold, full_phi):
-    """Component-form bounce shade.
-
-    col(i): the i-th input column (pallas_bounce layout) as a
-    lane-shaped array; lt_at/mt_at/st_at(r, c): table elements;
-    n_l/n_m/n_s: static table row counts.  Returns the OUT_COLS
-    output columns as a list (same layout as pallas_bounce)."""
+def _hit_info(col, st_at, n_s, tcol_base: int = 13):
+    """Hit shading-info construction (the first half of the bounce):
+    returns (pos, pos_err, ng, ns, dpdu, dpdv, uv, mat_id, light_id,
+    b0, b1).  col layout: o 0:3, d 3:6, hit @pb._HIT, is_sph, s_idx,
+    p_local 10:13, trow at tcol_base."""
     o_ray = (col(0), col(1), col(2))
     d = (col(3), col(4), col(5))
     hitmask = col(pb._HIT) > 0.5
     is_sph = col(pb._IS_SPH) > 0.5
     s_idx = col(pb._S_IDX).astype(jnp.int32)
     p_local = (col(10), col(11), col(12))
-    tcol = lambda j: col(13 + j)
-    beta = (col(39), col(40), col(41))
-    L = (col(42), col(43), col(44))
-    specular = col(pb._SPECULAR) > 0.5
-    sel_prev = col(pb._SEL_PREV).astype(jnp.int32)
-    wb_prev = col(pb._WB_PREV)
-    nee_prev = col(pb._NEE_PREV) > 0.5
-    alive = col(pb._ALIVE) > 0.5
-    lidx = col(pb._LIDX).astype(jnp.int32)
-    selpdf = col(pb._SELPDF)
-    u_light = (col(52), col(53))
-    u_bsdf = (col(54), col(55))
-    u_rr = col(pb._U_RR)
-    bounce = col(pb._BOUNCE)
-    cidx = dict(lcidx)
+    tcol = lambda j: col(tcol_base + j)
 
-    # ---- hit shading info ------------------------------------------
     srow = CRow(st_at, n_s, s_idx)
     b0, b1 = bary_from_vertices(o_ray, d, (tcol(0), tcol(1), tcol(2)),
                                 (tcol(3), tcol(4), tcol(5)),
@@ -663,21 +644,50 @@ def cbody(col, lt_at, mt_at, st_at, n_l, n_m, n_s, *, presence,
     ng = vwhere(is_sph, ng_s, ng_t)
     ns = vwhere(is_sph, ng_s, ns_t)
     dpdu = vwhere(is_sph, dpdu_s, dpdu_t)
+    dpdv = vwhere(is_sph, dpdv_s, dpdv_t)
+    # uv: triangle barycentric interp / sphere (phi, theta) chart
+    b2 = 1.0 - b0 - b1
+    uv_t = (b0 * tcol(18) + b1 * tcol(20) + b2 * tcol(22),
+            b0 * tcol(19) + b1 * tcol(21) + b2 * tcol(23))
+    uv_s = _sphere_uv(srow, p_local)
+    uv = (jnp.where(is_sph, uv_s[0], uv_t[0]),
+          jnp.where(is_sph, uv_s[1], uv_t[1]))
     mat_id = jnp.where(is_sph, srow.col_abs(20),
                        tcol(24)).astype(jnp.int32)
     light_id = jnp.where(is_sph, srow.col_abs(21),
                          tcol(25)).astype(jnp.int32)
     light_id = jnp.where(hitmask, light_id, -1)
+    return (pos, pos_err, ng, ns, dpdu, dpdv, uv, mat_id, light_id,
+            hitmask)
 
-    mrow = CRow(mt_at, n_m, jnp.maximum(mat_id, 0))
-    mtype = mrow.col_abs(0).astype(jnp.int32)
-    kd = (mrow.col_abs(1), mrow.col_abs(2), mrow.col_abs(3))
-    ks = (mrow.col_abs(4), mrow.col_abs(5), mrow.col_abs(6))
-    sigma = mrow.col_abs(7)
-    rough = mrow.col_abs(8)
-    eta = mrow.col_abs(9)
-    dissolve = mrow.col_abs(10)
 
+def _sphere_uv(srow: CRow, p):
+    """uv at a local sphere point (twin: sphere._local_duv's uv part;
+    acos_poly in place of arccos — Mosaic has no lowering; ~7e-5 rad,
+    sub-texel at any practical resolution)."""
+    radius = srow.col_abs(16)
+    thetamin = srow.col_abs(17)
+    thetamax = srow.col_abs(18)
+    phimax = srow.col_abs(19)
+    phi = cm.atan2_poly(p[1], p[0])
+    phi = jnp.where(phi < 0.0, phi + 2.0 * PI, phi)
+    u = phi / jnp.maximum(phimax, 1e-8)
+    theta = cm.acos_poly(jnp.clip(
+        p[2] / jnp.maximum(radius, 1e-20), -1.0 + 1e-7, 1.0 - 1e-7))
+    v = (theta - thetamin) / jnp.where(
+        jnp.abs(thetamax - thetamin) < 1e-8, 1.0, thetamax - thetamin)
+    return (u, v)
+
+
+def _shade_core(d, pos, pos_err, ng, ns, dpdu, mtype, kd, ks, sigma,
+                rough, eta, dissolve, light_id, hitmask, beta, L,
+                specular, sel_prev, wb_prev, nee_prev, alive, lidx,
+                selpdf, u_light, u_bsdf, u_rr, bounce, lt_at, n_l, *,
+                presence, dist_sets, lcidx, lpresent, emi_cols,
+                min_depth, rr_threshold, full_phi):
+    """The bounce shade proper (steps (2)-(5)), over already-resolved
+    hit info + material parameters.  Returns the OUT_COLS columns."""
+    cidx = dict(lcidx)
     lane_active = alive & hitmask
 
     # (2) emitted radiance
@@ -763,6 +773,179 @@ def cbody(col, lt_at, mt_at, st_at, n_l, n_m, n_s, *, presence,
     ]
     out += [zero] * (OUT_COLS - len(out))
     return out
+
+
+def cbody(col, lt_at, mt_at, st_at, n_l, n_m, n_s, *, presence,
+          dist_sets, lcidx, lpresent, emi_cols, min_depth,
+          rr_threshold, full_phi):
+    """Component-form bounce shade (single-kernel, untextured path).
+
+    col(i): the i-th input column (pallas_bounce layout) as a
+    lane-shaped array; lt_at/mt_at/st_at(r, c): table elements;
+    n_l/n_m/n_s: static table row counts.  Returns the OUT_COLS
+    output columns as a list (same layout as pallas_bounce)."""
+    d = (col(3), col(4), col(5))
+    (pos, pos_err, ng, ns, dpdu, _dpdv, _uv, mat_id, light_id,
+     hitmask) = _hit_info(col, st_at, n_s)
+
+    mrow = CRow(mt_at, n_m, jnp.maximum(mat_id, 0))
+    mtype = mrow.col_abs(0).astype(jnp.int32)
+    kd = (mrow.col_abs(1), mrow.col_abs(2), mrow.col_abs(3))
+    ks = (mrow.col_abs(4), mrow.col_abs(5), mrow.col_abs(6))
+    sigma = mrow.col_abs(7)
+    rough = mrow.col_abs(8)
+    eta = mrow.col_abs(9)
+    dissolve = mrow.col_abs(10)
+
+    return _shade_core(
+        d, pos, pos_err, ng, ns, dpdu, mtype, kd, ks, sigma, rough,
+        eta, dissolve, light_id, hitmask,
+        (col(39), col(40), col(41)), (col(42), col(43), col(44)),
+        col(pb._SPECULAR) > 0.5, col(pb._SEL_PREV).astype(jnp.int32),
+        col(pb._WB_PREV), col(pb._NEE_PREV) > 0.5,
+        col(pb._ALIVE) > 0.5, col(pb._LIDX).astype(jnp.int32),
+        col(pb._SELPDF), (col(52), col(53)), (col(54), col(55)),
+        col(pb._U_RR), col(pb._BOUNCE), lt_at, n_l,
+        presence=presence, dist_sets=dist_sets, lcidx=lcidx,
+        lpresent=lpresent, emi_cols=emi_cols, min_depth=min_depth,
+        rr_threshold=rr_threshold, full_phi=full_phi)
+
+
+# ---------------------------------------------------------------------------
+# hybrid-split bodies for the TEXTURED fast path (VERDICT r4 item 3):
+# kernel A resolves hit info + uv + ray-cone LOD, XLA fetches texels
+# (HBM gathers stay outside Pallas), kernel B runs the shade proper on
+# resolved material parameters.
+# ---------------------------------------------------------------------------
+
+# kernel-A input layout: cols 0:39 match the single-kernel layout
+# (o d t hit is_sph s_idx p_local trow) + cone_w + spread
+H_CONE_W = 39
+H_SPREAD = 40
+HIT_IN_COLS = 41
+# kernel-A output layout
+HIT_OUT_COLS = 28   # pos 0:3 perr 3:6 ng 6:9 ns 9:12 dpdu 12:15
+                    # dpdv 15:18 uv 18:20 duvdx 20:22 duvdy 22:24
+                    # mat_id 24 light_id 25 cone_w 26 (pad 27)
+
+
+def _solve_duv_c(nrm, dpdu, dpdv, dp):
+    """Component twin of dxy._solve_duv (argmax|n| axis dropped via
+    comparison masks instead of fancy indexing)."""
+    anx, any_, anz = jnp.abs(nrm[0]), jnp.abs(nrm[1]), jnp.abs(nrm[2])
+    amax0 = (anx >= any_) & (anx >= anz)
+    amax2 = ~amax0 & (anz > any_)
+    # a0 = 1 if amax==0 else 0;  a1 = 1 if amax==2 else 2
+    pick_a0 = lambda v: jnp.where(amax0, v[1], v[0])
+    pick_a1 = lambda v: jnp.where(amax2, v[1], v[2])
+    A00 = pick_a0(dpdu)
+    A01 = pick_a0(dpdv)
+    A10 = pick_a1(dpdu)
+    A11 = pick_a1(dpdv)
+    b0 = pick_a0(dp)
+    b1 = pick_a1(dp)
+    det = A00 * A11 - A01 * A10
+    ok = jnp.abs(det) > 1e-20
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    du = (A11 * b0 - A01 * b1) * inv
+    dv = (A00 * b1 - A10 * b0) * inv
+    return du, dv
+
+
+def _cone_duv_c(r, d, ng, dpdu, dpdv):
+    """Component twin of dxy.cone_duv."""
+    cos_i = vdot(d, ng)
+    proj = vsub(d, vscale(ng, cos_i))
+    p2 = vlength2(proj)
+    rs = jax.lax.rsqrt(jnp.maximum(p2, 1e-30))
+    nd = vnormalize(dpdu)
+    e1 = vwhere(p2 > 1e-12, vscale(proj, rs), nd)
+    e2 = vcross(ng, e1)
+    a1 = vscale(e1, r / jnp.maximum(jnp.abs(cos_i), 0.1))
+    a2 = vscale(e2, r)
+    dudx, dvdx = _solve_duv_c(ng, dpdu, dpdv, a1)
+    dudy, dvdy = _solve_duv_c(ng, dpdu, dpdv, a2)
+    return (dudx, dvdx), (dudy, dvdy)
+
+
+def cbody_hit(col, st_at, n_s):
+    """Kernel A: hit info + uv + ray-cone texture footprint.
+    Returns HIT_OUT_COLS columns."""
+    d = (col(3), col(4), col(5))
+    t = col(pb._T)
+    (pos, pos_err, ng, ns, dpdu, dpdv, uv, mat_id, light_id,
+     hitmask) = _hit_info(col, st_at, n_s)
+    cone_w = col(H_CONE_W)
+    spread = col(H_SPREAD)
+    # ray-cone footprint at the hit (twin: integrator's cone handling
+    # + dxy.cone_duv; pt.rs:142 scale_differentials analogue upstream)
+    ft = jnp.where(hitmask, t, 0.0)
+    r_cone = cone_w + spread * ft
+    (dudx, dvdx), (dudy, dvdy) = _cone_duv_c(r_cone, d, ng, dpdu, dpdv)
+    cone_out = jnp.where(hitmask, r_cone, cone_w)
+    zero = jnp.zeros_like(t)
+    return [
+        pos[0], pos[1], pos[2], pos_err[0], pos_err[1], pos_err[2],
+        ng[0], ng[1], ng[2], ns[0], ns[1], ns[2],
+        dpdu[0], dpdu[1], dpdu[2], dpdv[0], dpdv[1], dpdv[2],
+        uv[0], uv[1], dudx, dvdx, dudy, dvdy,
+        mat_id.astype(jnp.float32), light_id.astype(jnp.float32),
+        cone_out, zero,
+    ]
+
+
+# kernel-B input layout
+S_D = slice(0, 3)
+S_POS = slice(3, 6)
+S_PERR = slice(6, 9)
+S_NG = slice(9, 12)
+S_NS = slice(12, 15)
+S_DPDU = slice(15, 18)
+S_MTYPE = 18
+S_KD = slice(19, 22)
+S_KS = slice(22, 25)
+S_SIGMA = 25
+S_ROUGH = 26
+S_ETA = 27
+S_DISSOLVE = 28
+S_LIGHT_ID = 29
+S_HIT = 30
+S_BETA = slice(31, 34)
+S_L = slice(34, 37)
+S_SPECULAR = 37
+S_SEL_PREV = 38
+S_WB_PREV = 39
+S_NEE_PREV = 40
+S_ALIVE = 41
+S_LIDX = 42
+S_SELPDF = 43
+S_U_LIGHT = slice(44, 46)
+S_U_BSDF = slice(46, 48)
+S_U_RR = 48
+S_BOUNCE = 49
+SHADE_IN_COLS = 50
+
+
+def cbody_shade(col, lt_at, n_l, *, presence, dist_sets, lcidx,
+                lpresent, emi_cols, min_depth, rr_threshold,
+                full_phi):
+    """Kernel B: the shade proper over texture-resolved materials."""
+    c3 = lambda s: (col(s.start), col(s.start + 1), col(s.start + 2))
+    return _shade_core(
+        c3(S_D), c3(S_POS), c3(S_PERR), c3(S_NG), c3(S_NS),
+        c3(S_DPDU), col(S_MTYPE).astype(jnp.int32), c3(S_KD),
+        c3(S_KS), col(S_SIGMA), col(S_ROUGH), col(S_ETA),
+        col(S_DISSOLVE), col(S_LIGHT_ID).astype(jnp.int32),
+        col(S_HIT) > 0.5, c3(S_BETA), c3(S_L), col(S_SPECULAR) > 0.5,
+        col(S_SEL_PREV).astype(jnp.int32), col(S_WB_PREV),
+        col(S_NEE_PREV) > 0.5, col(S_ALIVE) > 0.5,
+        col(S_LIDX).astype(jnp.int32), col(S_SELPDF),
+        (col(S_U_LIGHT.start), col(S_U_LIGHT.start + 1)),
+        (col(S_U_BSDF.start), col(S_U_BSDF.start + 1)),
+        col(S_U_RR), col(S_BOUNCE), lt_at, n_l,
+        presence=presence, dist_sets=dist_sets, lcidx=lcidx,
+        lpresent=lpresent, emi_cols=emi_cols, min_depth=min_depth,
+        rr_threshold=rr_threshold, full_phi=full_phi)
 
 
 # ---------------------------------------------------------------------------
@@ -856,9 +1039,110 @@ def _fwd(xt, ltab, mtab, stab, presence, dist_sets, lcidx, lpresent,
     return out, (xt, ltab, mtab, stab)
 
 
+def backward_kernel_enabled() -> bool:
+    """ARENDUR_CBWD=0 falls back to the XLA vjp replay (the r4
+    behavior — the fwd+bwd metric pays the full pre-kernel op count)."""
+    return os.environ.get("ARENDUR_CBWD", "1") == "1"
+
+
+_RN_BWD = 1024  # (8,128) fields; Mosaic requires 8-sublane blocks
+
+
+def _bwd_kernel(x_ref, lt_ref, mt_ref, st_ref, ct_ref,
+                dx_ref, dlt_ref, dmt_ref, dst_ref, **cfg):
+    """One-launch backward: recompute the forward in-kernel (cheap —
+    kernel bodies are ~free on this device, DESIGN §9.4) and apply the
+    cotangent via jax.vjp INSIDE the kernel.  Table cotangents are
+    per-block scalar sums accumulated across the sequential TPU grid."""
+    x3 = x_ref[...]
+    lt = lt_ref[...]
+    mt = mt_ref[...]
+    st = st_ref[...]
+
+    def fwd_fn(x3_, lt_, mt_, st_):
+        col = lambda i: x3_[i]
+        outs = cbody(col, lambda r, c: lt_[r, c], lambda r, c: mt_[r, c],
+                     lambda r, c: st_[r, c], lt_.shape[0], mt_.shape[0],
+                     st_.shape[0], **cfg)
+        return tuple(outs)
+
+    _, vjp = jax.vjp(fwd_fn, x3, lt, mt, st)
+    ct = tuple(ct_ref[j] for j in range(OUT_COLS))
+    dx3, dlt, dmt, dst = vjp(ct)
+    dx_ref[...] = dx3
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dlt_ref[...] = jnp.zeros_like(dlt)
+        dmt_ref[...] = jnp.zeros_like(dmt)
+        dst_ref[...] = jnp.zeros_like(dst)
+
+    dlt_ref[...] += dlt
+    dmt_ref[...] += dmt
+    dst_ref[...] += dst
+
+
+@functools.partial(
+    jax.jit, static_argnames=("presence", "dist_sets", "lcidx",
+                              "lpresent", "emi_cols", "min_depth",
+                              "rr_threshold", "full_phi", "interpret"))
+def _run_bwd(xt, ltab, mtab, stab, ct, presence, dist_sets, lcidx,
+             lpresent, emi_cols, min_depth, rr_threshold, full_phi,
+             interpret):
+    n = xt.shape[1]
+    pad = (-n) % _RN_BWD
+    if pad:
+        xt = jnp.concatenate(
+            [xt, jnp.zeros((xt.shape[0], pad), xt.dtype)], 1)
+        ct = jnp.concatenate(
+            [ct, jnp.zeros((ct.shape[0], pad), ct.dtype)], 1)
+    np_ = xt.shape[1]
+    x3 = xt.reshape(IN_COLS, np_ // _LANE, _LANE)
+    c3 = ct.reshape(OUT_COLS, np_ // _LANE, _LANE)
+    rn_sub = _RN_BWD // _LANE
+    kern = functools.partial(
+        _bwd_kernel, presence=presence, dist_sets=dist_sets,
+        lcidx=lcidx, lpresent=lpresent, emi_cols=emi_cols,
+        min_depth=min_depth, rr_threshold=rr_threshold,
+        full_phi=full_phi)
+    vmem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    acc = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    dx3, dlt, dmt, dst = pl.pallas_call(
+        kern,
+        grid=(np_ // _RN_BWD,),
+        in_specs=[
+            pl.BlockSpec((IN_COLS, rn_sub, _LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            vmem(ltab.shape), vmem(mtab.shape), vmem(stab.shape),
+            pl.BlockSpec((OUT_COLS, rn_sub, _LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((IN_COLS, rn_sub, _LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            acc(ltab.shape), acc(mtab.shape), acc(stab.shape),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((IN_COLS, np_ // _LANE, _LANE),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct(ltab.shape, jnp.float32),
+            jax.ShapeDtypeStruct(mtab.shape, jnp.float32),
+            jax.ShapeDtypeStruct(stab.shape, jnp.float32),
+        ),
+        interpret=interpret,
+    )(x3, ltab, mtab, stab, c3)
+    return dx3.reshape(IN_COLS, np_)[:, :n], dlt, dmt, dst
+
+
 def _bwd(presence, dist_sets, lcidx, lpresent, emi_cols, min_depth,
          rr_threshold, full_phi, interpret, res, ct):
     xt, ltab, mtab, stab = res
+    if backward_kernel_enabled():
+        return _run_bwd(xt, ltab, mtab, stab, ct, presence, dist_sets,
+                        lcidx, lpresent, emi_cols, min_depth,
+                        rr_threshold, full_phi, interpret)
     _, vjp = jax.vjp(
         lambda x_, lt_, mt_, st_: xla_reference(
             x_, lt_, mt_, st_, presence, dist_sets, lcidx, lpresent,
@@ -896,3 +1180,159 @@ def unpack_out_t(out):
         nee_prev=out[16] > 0.5,
         sh_o=v3(17), sh_d=v3(20), sh_t=out[23],
         need_shadow=out[24] > 0.5, contrib=v3(25))
+
+
+# ---------------------------------------------------------------------------
+# split-path wrappers (textured scenes)
+# ---------------------------------------------------------------------------
+
+def _kernel_hit(x_ref, st_ref, o_ref):
+    col = lambda i: x_ref[i]
+    outs = cbody_hit(col, lambda r, c: st_ref[r, c], st_ref.shape[0])
+    for j in range(HIT_OUT_COLS):
+        o_ref[j] = outs[j]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hit_shade_t(xt, stab, interpret=False):
+    """Kernel A over the transposed hit input [HIT_IN_COLS, N] ->
+    [HIT_OUT_COLS, N].  Geometry only — callers stop_gradient the
+    result (detached geometry, DESIGN §5), so no vjp is defined."""
+    n = xt.shape[1]
+    pad = (-n) % _RN
+    if pad:
+        xt = jnp.concatenate(
+            [xt, jnp.zeros((xt.shape[0], pad), xt.dtype)], 1)
+    np_ = xt.shape[1]
+    x3 = xt.reshape(HIT_IN_COLS, np_ // _LANE, _LANE)
+    rn_sub = _RN // _LANE
+    out3 = pl.pallas_call(
+        _kernel_hit,
+        grid=(np_ // _RN,),
+        in_specs=[
+            pl.BlockSpec((HIT_IN_COLS, rn_sub, _LANE),
+                         lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(stab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((HIT_OUT_COLS, rn_sub, _LANE),
+                               lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (HIT_OUT_COLS, np_ // _LANE, _LANE), jnp.float32),
+        interpret=interpret,
+    )(x3, stab)
+    return out3.reshape(HIT_OUT_COLS, np_)[:, :n]
+
+
+def xla_reference_hit(xt, stab):
+    """cbody_hit as plain XLA (parity oracle)."""
+    outs = cbody_hit(lambda i: xt[i], lambda r, c: stab[r, c],
+                     stab.shape[0])
+    return jnp.stack(outs, axis=0)
+
+
+def _kernel_shade(x_ref, lt_ref, o_ref, **cfg):
+    col = lambda i: x_ref[i]
+    outs = cbody_shade(col, lambda r, c: lt_ref[r, c],
+                       lt_ref.shape[0], **cfg)
+    for j in range(OUT_COLS):
+        o_ref[j] = outs[j]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("presence", "dist_sets", "lcidx",
+                              "lpresent", "emi_cols", "min_depth",
+                              "rr_threshold", "full_phi", "interpret"))
+def _run_shade(xt, ltab, presence, dist_sets, lcidx, lpresent,
+               emi_cols, min_depth, rr_threshold, full_phi, interpret):
+    n = xt.shape[1]
+    pad = (-n) % _RN
+    if pad:
+        xt = jnp.concatenate(
+            [xt, jnp.zeros((xt.shape[0], pad), xt.dtype)], 1)
+    np_ = xt.shape[1]
+    x3 = xt.reshape(SHADE_IN_COLS, np_ // _LANE, _LANE)
+    rn_sub = _RN // _LANE
+    kern = functools.partial(
+        _kernel_shade, presence=presence, dist_sets=dist_sets,
+        lcidx=lcidx, lpresent=lpresent, emi_cols=emi_cols,
+        min_depth=min_depth, rr_threshold=rr_threshold,
+        full_phi=full_phi)
+    out3 = pl.pallas_call(
+        kern,
+        grid=(np_ // _RN,),
+        in_specs=[
+            pl.BlockSpec((SHADE_IN_COLS, rn_sub, _LANE),
+                         lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(ltab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((OUT_COLS, rn_sub, _LANE),
+                               lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (OUT_COLS, np_ // _LANE, _LANE), jnp.float32),
+        interpret=interpret,
+    )(x3, ltab)
+    return out3.reshape(OUT_COLS, np_)[:, :n]
+
+
+def xla_reference_shade(xt, ltab, presence, dist_sets, lcidx,
+                        lpresent, emi_cols, min_depth, rr_threshold,
+                        full_phi):
+    """cbody_shade as plain XLA (parity oracle + backward twin)."""
+    outs = cbody_shade(lambda i: xt[i], lambda r, c: ltab[r, c],
+                       ltab.shape[0], presence=presence,
+                       dist_sets=dist_sets, lcidx=lcidx,
+                       lpresent=lpresent, emi_cols=emi_cols,
+                       min_depth=min_depth, rr_threshold=rr_threshold,
+                       full_phi=full_phi)
+    return jnp.stack(outs, axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7,
+                                                    8, 9, 10))
+def shade_split_t(xt, ltab, presence, dist_sets, lcidx, lpresent,
+                  emi_cols, min_depth, rr_threshold, full_phi,
+                  interpret=False):
+    """Kernel B (textured split path) over [SHADE_IN_COLS, N].
+    Differentiable w.r.t. xt (which carries the texture-resolved
+    material columns — gradients flow back into the texture pool and
+    material table through XLA's resolve_params) and ltab."""
+    return _run_shade(xt, ltab, presence, dist_sets, lcidx, lpresent,
+                      emi_cols, min_depth, rr_threshold, full_phi,
+                      interpret)
+
+
+def _fwd_shade(xt, ltab, presence, dist_sets, lcidx, lpresent,
+               emi_cols, min_depth, rr_threshold, full_phi, interpret):
+    out = shade_split_t(xt, ltab, presence, dist_sets, lcidx,
+                        lpresent, emi_cols, min_depth, rr_threshold,
+                        full_phi, interpret)
+    return out, (xt, ltab)
+
+
+def _bwd_shade(presence, dist_sets, lcidx, lpresent, emi_cols,
+               min_depth, rr_threshold, full_phi, interpret, res, ct):
+    xt, ltab = res
+    _, vjp = jax.vjp(
+        lambda x_, lt_: xla_reference_shade(
+            x_, lt_, presence, dist_sets, lcidx, lpresent, emi_cols,
+            min_depth, rr_threshold, full_phi),
+        xt, ltab)
+    return vjp(ct)
+
+
+shade_split_t.defvjp(_fwd_shade, _bwd_shade)
+
+
+def unpack_hit_t(out):
+    """[HIT_OUT_COLS, N] -> dict of row-form arrays."""
+    v3 = lambda j: jnp.stack([out[j], out[j + 1], out[j + 2]], -1)
+    v2 = lambda j: jnp.stack([out[j], out[j + 1]], -1)
+    return dict(
+        pos=v3(0), pos_err=v3(3), ng=v3(6), ns=v3(9), dpdu=v3(12),
+        dpdv=v3(15), uv=v2(18), duvdx=v2(20), duvdy=v2(22),
+        mat_id=out[24].astype(jnp.int32),
+        light_id=out[25].astype(jnp.int32), cone_w=out[26])

@@ -498,7 +498,7 @@ def _sample_wh_beckmann(wo, u, ax, ay):
     norm = 1.0 / (1.0 + c0 + sqrt_pi_inv * tan_t
                   * jnp.exp(-cot_t * cot_t))
 
-    def newton_body(_, carry):
+    def newton_body(carry):
         a, b, c = carry
         b = jnp.where((b < a) | (b > c), 0.5 * (a + c), b)
         inv = erf_inv(b)
@@ -512,8 +512,14 @@ def _sample_wh_beckmann(wo, u, ax, ay):
         return (jnp.where(done, a, a_new), jnp.where(done, b, b_new),
                 jnp.where(done, c, c_new))
 
-    a0 = jnp.full_like(b, -1.0)
-    _, b, _ = jax.lax.fori_loop(0, 9, newton_body, (a0, b, c0))
+    # statically UNROLLED (vs the row twin's fori_loop): the in-kernel
+    # backward linearizes this solve, and Mosaic's loop lowering
+    # cannot carry the linearization residuals of a fori_loop body —
+    # straight-line code sidesteps it with identical math
+    carry = (jnp.full_like(b, -1.0), b, c0)
+    for _ in range(9):
+        carry = newton_body(carry)
+    b = carry[1]
     sx_g = erf_inv(b)
     sy_g = erf_inv(2.0 * jnp.maximum(uy, 1e-6) - 1.0)
 

@@ -130,13 +130,22 @@ def _mega_eligible(scene: sc.SceneData, config: RenderConfig):
     (render/pallas_bounce.py).  Returns (ok, full_phi_spheres)."""
     import numpy as np
     from arendur_tpu.bxdf import pallas_shade as psh
-    if not psh.use_pallas_shade() or config.textures is not None:
+    if not psh.use_pallas_shade():
         return False, False
-    if getattr(scene, "inst", ()):
-        # instanced-mesh hit info is resolved in XLA; the mega kernel
-        # constructs shading info in-kernel from the world pool only
+    if config.textures is not None:
+        # textured scenes ride the hybrid-split component path
+        # (hit kernel -> XLA texel gathers -> shade kernel); only the
+        # component kernels implement it
+        from arendur_tpu.render import cbounce as _cb
+        if not (_cb.enabled() and _cb.eligible(scene)):
+            return False, False
+    # instanced meshes ARE eligible: intersect_raw resolves the winning
+    # instance and bakes its transform into a world-space trow, which
+    # the kernel's shading-info construction consumes verbatim (a
+    # pure-instanced scene has no world pool at all)
+    if scene.tri_cw is None and not getattr(scene, "inst", ()):
         return False, False
-    if scene.tri_cw is None or not sc._use_pallas_intersect():
+    if not sc._use_pallas_intersect():
         return False, False
     try:
         letex = np.asarray(scene.lights.emission_tex) \
@@ -290,6 +299,66 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
             b1 = lambda m: jnp.where(m, 1.0, 0.0)[:, None]
             bounce_f = (bounce.astype(jnp.float32)
                         if hasattr(bounce, "astype") else float(bounce))
+            from arendur_tpu.shapes import sphere as sphmod
+            ltab = jnp.asarray(mega_pk)
+            mtab = mats.param_table(scene.materials)
+            stab = sphmod.shade_table(scene.spheres)
+            if config.textures is not None:
+                # hybrid split (VERDICT r4 item 3): hit kernel ->
+                # XLA texel gathers (HBM) -> shade kernel
+                from arendur_tpu.render import cbounce as cb
+                sg = jax.lax.stop_gradient
+                # the hit kernel is geometry-only (detached, DESIGN §5)
+                # and defines no vjp — its whole input is detached so
+                # tangent-carrying wave state (the shade kernel's
+                # custom_vjp marks every output) never reaches it
+                xh = sg(jnp.concatenate([
+                    o, d, raw["t"][:, None],
+                    b1(raw["hit"]), b1(raw["is_sphere"]),
+                    f1(raw["s_idx"]), raw["p_local"], raw["trow"],
+                    cone_w[:, None], spread[:, None],
+                ], axis=1))
+                with jax.named_scope("pt_shade_hit"):
+                    hout = sg(cb.hit_shade_t(
+                        xh.T, stab, pb.default_interpret()))
+                hi = cb.unpack_hit_t(hout)
+                (mtype_r, kd_r, ks_r, sigma_r, rough_r, eta_r,
+                 dis_r, ns_r, dpdu_r) = mats.resolve_params(
+                    scene.materials, hi["mat_id"], hi["ns"],
+                    hi["ng"], hi["dpdu"], uv=hi["uv"],
+                    textures=config.textures, dpdv=hi["dpdv"],
+                    duvdx=hi["duvdx"], duvdy=hi["duvdy"],
+                    tex_filter=config.tex_filter)
+                xs = jnp.concatenate([
+                    d, hi["pos"], hi["pos_err"], hi["ng"], ns_r,
+                    dpdu_r, f1(mtype_r), kd_r, ks_r,
+                    sigma_r[:, None], rough_r[:, None],
+                    eta_r[:, None], dis_r[:, None],
+                    f1(hi["light_id"]), b1(raw["hit"]),
+                    beta, L, b1(specular), f1(sel_prev),
+                    wb_prev[:, None], b1(nee_prev), b1(alive),
+                    f1(lidx), selpdf[:, None], u_light, u_bsdf,
+                    u_rr[:, None], (zb + bounce_f)[:, None],
+                ], axis=1)
+                with jax.named_scope("pt_shade_mega"):
+                    out_t = cb.shade_split_t(
+                        xs.T, ltab, mega_presence, mega_dists,
+                        mega_lcidx, mega_lpresent, mega_emi,
+                        config.min_depth, float(config.rr_threshold),
+                        mega_full_phi, pb.default_interpret())
+                r = cb.unpack_out_t(out_t)
+                with jax.named_scope("pt_light_calculation"):
+                    blocked = sc.occluded(scene, r["sh_o"], r["sh_d"],
+                                          r["sh_t"], n_alive=n_alive)
+                L_out = r["L"] + jnp.where(
+                    (r["need_shadow"] & ~blocked)[..., None],
+                    r["contrib"], 0.0)
+                return dict(o=r["o"], d=r["d"], L=L_out,
+                            beta=r["beta"], alive=r["alive"],
+                            specular=r["specular"], cone_w=hi["cone_w"],
+                            sel_prev=r["sel_prev"],
+                            wb_prev=r["wb_prev"],
+                            nee_prev=r["nee_prev"], st=st)
             x = jnp.concatenate([
                 o, d, raw["t"][:, None],
                 b1(raw["hit"]), b1(raw["is_sphere"]), f1(raw["s_idx"]),
@@ -299,10 +368,6 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
                 f1(lidx), selpdf[:, None], u_light, u_bsdf,
                 u_rr[:, None], (zb + bounce_f)[:, None],
             ], axis=1)
-            from arendur_tpu.shapes import sphere as sphmod
-            ltab = jnp.asarray(mega_pk)
-            mtab = mats.param_table(scene.materials)
-            stab = sphmod.shade_table(scene.spheres)
             if use_cbounce:
                 # component-form (lane-transposed) kernel: full vreg
                 # occupancy on every vector op (render/cbounce.py)

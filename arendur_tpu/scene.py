@@ -734,20 +734,86 @@ def intersect_raw(scene: SceneData, o, d, tmax=None, n_alive=None):
     integrator's mega eligibility guarantees this)."""
     from arendur_tpu.geometry.vec import as_jax
     scene = as_jax(scene)
+    # ray geometry is detached by design (detached-sampling estimator,
+    # DESIGN §5; visibility/geometry discontinuities carry no gradient,
+    # SURVEY §7 M5).  Also load-bearing: the Pallas intersect kernels
+    # have no JVP rule, so a tangent-carrying ray input (e.g. via the
+    # shade kernel's custom_vjp outputs under value_and_grad) would
+    # fail to trace.
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
     n = o.shape[0]
     if tmax is None:
         tmax = jnp.full((n,), jnp.inf, jnp.float32)
     from arendur_tpu.shapes import pallas_intersect as pli
     ksph = _kernel_spheres()
     tab = sph.kernel_table(scene.spheres) if ksph else None
-    t_k, slot = pli.intersect_clusters(
-        scene.tri_cw, scene.tri_cbox, o, d, tmax,
-        n_alive=n_alive, sph_tab=tab,
-        full_phi=scene.spheres.phi_full,
-        interpret=_pallas_interpret())
-    t_tri = jnp.where(slot >= 0, t_k, jnp.inf)
-    tri_idx = jnp.where(slot >= 0,
-                        scene.tri_remap[jnp.maximum(slot, 0)], -1)
+    if scene.tri_cw is not None:
+        t_k, slot = pli.intersect_clusters(
+            scene.tri_cw, scene.tri_cbox, o, d, tmax,
+            n_alive=n_alive, sph_tab=tab,
+            full_phi=scene.spheres.phi_full,
+            interpret=_pallas_interpret())
+        t_tri = jnp.where(slot >= 0, t_k, jnp.inf)
+        tri_idx = jnp.where(slot >= 0,
+                            scene.tri_remap[jnp.maximum(slot, 0)], -1)
+    else:
+        # empty world pool (pure-instanced scene); the in-kernel
+        # sphere test needs the cluster kernel, so force the XLA
+        # sphere path below
+        ksph = False
+        t_tri = jnp.full((n,), jnp.inf, jnp.float32)
+        tri_idx = jnp.full((n,), -1, jnp.int32)
+    trow = tri_pack(scene)[jnp.maximum(tri_idx, 0)]
+    tri_hit = tri_idx >= 0
+
+    # --- instanced meshes: same per-instance batched kernel launch as
+    # sc.intersect, but the winning instance's LOCAL attribute row is
+    # transformed to a WORLD-SPACE trow (vertices by o2w, normals by
+    # the inverse-transpose) so the bounce mega-kernel's shading-info
+    # construction works verbatim on it (VERDICT r4 item 3: instanced
+    # hit-info resolved by baking per-instance transforms into the
+    # rows the kernel already consumes).
+    for im in scene.inst:
+        I = im.o2w.shape[0]
+        w2o = im.w2o
+        ol = (jnp.einsum('nj,ijk->ink', o, w2o[:, :3, :3])
+              + w2o[:, None, 3, :3]).reshape(I * n, 3)
+        dl = jnp.einsum('nj,ijk->ink', d, w2o[:, :3, :3]) \
+            .reshape(I * n, 3)
+        bound_b = jnp.tile(jnp.minimum(tmax, t_tri), I)
+        t_f, slot_f = pli.intersect_clusters(
+            im.cw, im.cbox, ol, dl, bound_b,
+            n_alive=n_alive, period=n,
+            interpret=_pallas_interpret())
+        li_f = jnp.where(slot_f >= 0,
+                         im.remap[jnp.maximum(slot_f, 0)], -1)
+        t_im = jnp.where(li_f >= 0, t_f, jnp.inf).reshape(I, n)
+        inst_best = jnp.argmin(t_im, axis=0)
+        t_i = jnp.take_along_axis(t_im, inst_best[None, :], 0)[0]
+        li = jnp.take_along_axis(
+            li_f.reshape(I, n), inst_best[None, :], 0)[0]
+        hit_i = (li >= 0) & (t_i < t_tri) & jnp.isfinite(t_i)
+        o2w_b = im.o2w[inst_best]
+        nrm_b = im.nrm[inst_best]
+        irow = im.attr[jnp.maximum(li, 0)]
+        lin = o2w_b[:, :3, :3]
+        tp = lambda p: jnp.einsum('nj,njk->nk', p, lin) \
+            + o2w_b[:, 3, :3]
+        tn = lambda v: jnp.einsum('nj,njk->nk', v, nrm_b)
+        trow_w = jnp.concatenate([
+            tp(irow[:, 0:3]), tp(irow[:, 3:6]), tp(irow[:, 6:9]),
+            tn(irow[:, 9:12]), tn(irow[:, 12:15]), tn(irow[:, 15:18]),
+            irow[:, 18:25],
+            # instanced triangles are never scene lights (sc.intersect
+            # forces light_id=-1 the same way, transformed.rs has no
+            # per-instance light registration)
+            jnp.full((n, 1), -1.0, jnp.float32)], axis=1)
+        m26 = hit_i[:, None]
+        trow = jnp.where(m26, trow_w, trow)
+        t_tri = jnp.where(hit_i, t_i, t_tri)
+        tri_hit = tri_hit | hit_i
+
     if ksph:
         sph_hit = slot <= -2
         t_sph = jnp.where(sph_hit, t_k, jnp.inf)
@@ -769,8 +835,7 @@ def intersect_raw(scene: SceneData, o, d, tmax=None, n_alive=None):
         s_idx = jnp.maximum(sp["sphere_idx"], 0)
         p_local = sp["p_local"]
         t_best = jnp.where(use_sphere, sp["t"], t_tri)
-    hit = (tri_idx >= 0) | use_sphere
-    trow = tri_pack(scene)[jnp.maximum(tri_idx, 0)]
+    hit = tri_hit | use_sphere
     return dict(t=jnp.where(hit, t_best, jnp.inf), hit=hit,
                 is_sphere=use_sphere, s_idx=s_idx, p_local=p_local,
                 trow=trow)
@@ -787,6 +852,11 @@ def intersect(scene: SceneData, o, d, tmax=None, n_alive=None) -> Hit:
     """
     from arendur_tpu.geometry.vec import as_jax
     scene = as_jax(scene)
+    # detached ray geometry (see intersect_raw): no-op on real paths
+    # (directions are sampled under stop_gradient), required so the
+    # Pallas kernels never see tangent-carrying operands
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
     n = o.shape[0]
     if tmax is None:
         tmax = jnp.full((n,), jnp.inf, jnp.float32)
@@ -1003,6 +1073,11 @@ def occluded(scene: SceneData, o, d, tmax, n_alive=None) -> jnp.ndarray:
     """Any-hit query for shadow rays."""
     from arendur_tpu.geometry.vec import as_jax
     scene = as_jax(scene)
+    # boolean result: gradients are zero by definition; sg keeps the
+    # Pallas any-hit kernel off the JVP path (see intersect_raw)
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    tmax = jax.lax.stop_gradient(tmax)
     ksph = False
     if scene.tri_cw is not None:
         k = scene.tri_cw.shape[-1] // 4

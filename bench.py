@@ -90,6 +90,58 @@ def inner():
     assert np.isfinite(img).all(), "render produced non-finite pixels"
     assert img.max() > 0.01, "render is black"
 
+    # ---- textured throughput (BASELINE config 3) -------------------
+    # same Cornell geometry with a 256^2 checkerboard kd texture on
+    # every matte material: every hit pays the texture pipeline (hit
+    # kernel -> XLA mipmap gathers -> shade kernel)
+    tex_paths_per_s = 0.0
+    try:
+        from arendur_tpu.texturing.texture import AtlasBuilder
+        ch = (np.indices((256, 256)).sum(0) // 16 % 2).astype(np.float32)
+        img_t = np.stack([ch * 0.8 + 0.1, ch * 0.5 + 0.2,
+                          np.full_like(ch, 0.6)], -1)
+        ab = AtlasBuilder()
+        tid = ab.add_image(img_t)
+        atlas = ab.build()
+        mt = scene.materials
+        kd_tex = np.where(np.asarray(mt.mtype) == 0, tid,
+                          np.asarray(mt.kd_tex))
+        scene_t = scene.replace(materials=mt.replace(
+            kd_tex=kd_tex.astype(np.int32)))
+        config_t = dataclasses.replace(config, textures=atlas)
+
+        @jax.jit
+        def run_wave_t(state, ray_idx):
+            pixel_id = ray_idx // spp
+            sample_id = ray_idx % spp
+            px = (pixel_id % w).astype(jnp.float32)
+            py = (pixel_id // w).astype(jnp.float32)
+            pixel_xy = jnp.stack([px, py], -1)
+            pfilm, L = integ.trace_wave(
+                scene_t, camera, config_t, pixel_xy,
+                pixel_id.astype(jnp.int32), sample_id.astype(jnp.int32),
+                base_key)
+            return flm.film_splat_pixmajor(
+                film_cfg, state, pfilm - pixel_xy, L, ray_idx[0] // spp,
+                spp, mask=ray_idx < total)
+
+        state_t = flm.film_init(film_cfg, padded=True)
+        run_wave_tc = utils.compile_tpu(run_wave_t, state_t, idx0)
+        state_t = run_wave_tc(state_t, idx0)
+        jax.block_until_ready(state_t)
+        reps_t = 4
+        t0 = time.perf_counter()
+        for i in range(1, reps_t + 1):
+            idx = (i % n_waves) * wave + jnp.arange(wave, dtype=jnp.int32)
+            state_t = run_wave_tc(state_t, idx)
+        jax.block_until_ready(state_t)
+        dt_t = time.perf_counter() - t0
+        tex_paths_per_s = reps_t * wave / max(dt_t, 1e-9)
+        img_tx = np.asarray(flm.film_finalize(state_t, film_cfg))
+        assert np.isfinite(img_tx).all() and img_tx.max() > 0.01
+    except Exception as e:                     # pragma: no cover
+        sys.stderr.write(f"[bench] textured leg failed: {e}\n")
+
     # ---- fwd+bwd: one material-optimization step per wave ----------
     # (BASELINE.json's metric is rays/s/chip forward+backward; this
     # measures jax.value_and_grad of the film-MSE w.r.t. the material
@@ -146,6 +198,7 @@ def inner():
         "unit": "paths/s (256x256, 16spp, depth8, NEE+MIS)",
         "vs_baseline": round(float(paths_per_s / BASELINE_PATHS_PER_S), 4),
         "fwd_bwd_paths_per_s": round(float(fwd_bwd_paths_per_s), 2),
+        "textured_paths_per_s": round(float(tex_paths_per_s), 2),
     }), flush=True)
 
 

@@ -266,6 +266,33 @@ class TestBodyParity:
         gate(gl_c, gl_r, "d/d ltab")
 
 
+class TestBackwardKernel:
+    def test_bwd_kernel_matches_xla_vjp(self):
+        """The one-launch Pallas backward (interpret mode) vs the XLA
+        vjp replay — cotangents for x AND all three tables."""
+        cfg = _CornellCfg()
+        x = _fuzz_x(cfg, 5, n=512)
+        rng = np.random.default_rng(7)
+        ct = jnp.asarray(rng.normal(size=(cb.OUT_COLS, 512))
+                         .astype(np.float32))
+        args = cfg.args()
+        dx_k, dlt_k, dmt_k, dst_k = cb._run_bwd(
+            x.T, cfg.ltab, cfg.mtab, cfg.stab, ct, *args, True)
+        _, vjp = jax.vjp(
+            lambda x_, lt_, mt_, st_: cb.xla_reference(
+                x_, lt_, mt_, st_, *args),
+            x.T, cfg.ltab, cfg.mtab, cfg.stab)
+        dx_r, dlt_r, dmt_r, dst_r = vjp(ct)
+        for k, r, name in ((dx_k, dx_r, "dx"), (dlt_k, dlt_r, "dltab"),
+                           (dmt_k, dmt_r, "dmtab"),
+                           (dst_k, dst_r, "dstab")):
+            k, r = np.asarray(k), np.asarray(r)
+            fin = np.isfinite(r) & np.isfinite(k)
+            assert fin.mean() > 0.999, name
+            np.testing.assert_allclose(k[fin], r[fin], rtol=2e-4,
+                                       atol=2e-4, err_msg=name)
+
+
 class TestCRow:
     def test_row_select(self):
         tab = jnp.asarray(np.arange(12, dtype=np.float32).reshape(4, 3))
@@ -273,3 +300,116 @@ class TestCRow:
         row = cb.CRow(lambda r, c: tab[r, c], 4, idx)
         got = np.asarray(row.col_abs(2))
         np.testing.assert_array_equal(got, [2.0, 11.0, 5.0, 8.0, 11.0])
+
+
+def _textured_quad_scene():
+    """Camera staring at a kd-textured quad + point light + a matte
+    sphere (exercises the sphere-uv branch of the hit kernel)."""
+    from arendur_tpu import scene as sc_
+    from arendur_tpu.filming import camera as cam
+    from arendur_tpu.filming import film as flm
+    from arendur_tpu.sampling import filters as filt
+    from arendur_tpu.geometry import transform as tf
+    from arendur_tpu.render import integrator as integ
+    rng = np.random.RandomState(0)
+    img = rng.uniform(0.2, 0.9, (8, 8, 3)).astype(np.float32)
+    b = sc_.SceneBuilder()
+    tex_id = b.atlas.add_image(img, wrap=2, gamma=False)
+    m = b.add_material(mtype=mats.M_MATTE, kd=(1.0, 1.0, 1.0),
+                       sigma=0.0, kd_tex=tex_id)
+    ms = b.add_material(mtype=mats.M_MATTE, kd=(0.6, 0.5, 0.4),
+                        sigma=0.0)
+    v = np.array([[-2, -2, 0], [2, -2, 0], [2, 2, 0], [-2, 2, 0]],
+                 np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    b.add_mesh(v, f, m, uvs=uv)
+    b.add_sphere(radius=0.5, zmin=-0.5, zmax=0.5,
+                 phimax=2.0 * np.pi, mat_id=ms,
+                 transform=np.array([[1, 0, 0, 0], [0, 1, 0, 0],
+                                     [0, 0, 1, 0], [0.8, 0.0, 0.7, 1]],
+                                    np.float32))
+    b.add_point_light((0, 0, 3.0), (20.0, 20.0, 20.0))
+    scene = b.build()
+    textures = b.build_textures()
+    pv = np.asarray(tf.look_at([0, 0, 2.5], [0, 0, 0.0], [0, 1, 0.0]))
+    camera = cam.make_perspective(
+        parent_view=pv, screen_min=(-1, -1), screen_max=(1, 1),
+        znear=0.1, zfar=100.0, fov=1.2, lens=None, resolution=(16, 16))
+    film_cfg = flm.FilmConfig(
+        resolution=(16, 16), filter=filt.FilterSpec("box", (0.5, 0.5)))
+    config = integ.RenderConfig(max_depth=2, spp=4, sample_dx=2,
+                                sample_dy=2, wave_size=16 * 16 * 4,
+                                rr_threshold=0.0, textures=textures)
+    return scene, camera, film_cfg, config, textures
+
+
+class TestTexturedSplitPath:
+    """The hybrid-split textured fast path (hit kernel -> XLA texel
+    gathers -> shade kernel) vs the XLA composition."""
+
+    def _render(self, env, monkeypatch, scene, camera, film_cfg,
+                config):
+        from arendur_tpu.render import integrator as integ
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        img = np.asarray(integ.render(scene, camera, film_cfg, config))
+        for k in env:
+            monkeypatch.delenv(k, raising=False)
+        return img
+
+    @pytest.mark.slow
+    def test_split_render_matches_xla(self, monkeypatch):
+        scene, camera, film_cfg, config, _ = _textured_quad_scene()
+        ref = self._render({}, monkeypatch, scene, camera, film_cfg,
+                           config)
+        img = self._render({"ARENDUR_SHADE": "pallas",
+                            "ARENDUR_INTERSECT": "pallas",
+                            "ARENDUR_PALLAS_INTERPRET": "1"},
+                           monkeypatch, scene, camera, film_cfg,
+                           config)
+        assert ref.max() > 0.01
+        # the split path evaluates sphere uv with the shared polynomial
+        # acos (the XLA path uses exact arccos there): sub-texel uv
+        # difference, bounded by the pipeline tolerance
+        np.testing.assert_allclose(img, ref, atol=3e-3)
+
+    @pytest.mark.slow
+    def test_split_texel_grads_match_xla(self, monkeypatch):
+        """Texture-pool gradients through the split path's shade-kernel
+        custom_vjp vs the XLA composition."""
+        import dataclasses
+        from arendur_tpu.render import integrator as integ
+        from arendur_tpu.filming import film as flm
+        scene, camera, film_cfg, config, textures = \
+            _textured_quad_scene()
+        w, h = film_cfg.resolution
+        total = w * h * config.spp
+
+        def loss_of(texels, cfg):
+            cfg = dataclasses.replace(
+                cfg, textures=textures.replace(texels=texels))
+            ray_idx = jnp.arange(total, dtype=jnp.int32)
+            pixel_id = (ray_idx // cfg.spp).astype(jnp.int32)
+            sample_id = (ray_idx % cfg.spp).astype(jnp.int32)
+            px = (pixel_id % w).astype(jnp.float32)
+            py = (pixel_id // w).astype(jnp.float32)
+            pxy = jnp.stack([px, py], -1)
+            pfilm, L = integ.trace_wave(
+                scene, camera, cfg, pxy, pixel_id, sample_id,
+                integ.smp.make_base_key(cfg.seed))
+            state = flm.film_init(film_cfg)
+            state = flm.film_splat(film_cfg, state, pfilm, L,
+                                   mask=ray_idx < total)
+            return jnp.mean(flm.film_finalize(state, film_cfg) ** 2)
+
+        tex0 = jnp.asarray(textures.texels)
+        g_ref = np.asarray(jax.grad(lambda t: loss_of(t, config))(tex0))
+        monkeypatch.setenv("ARENDUR_SHADE", "pallas")
+        monkeypatch.setenv("ARENDUR_INTERSECT", "pallas")
+        monkeypatch.setenv("ARENDUR_PALLAS_INTERPRET", "1")
+        g_split = np.asarray(
+            jax.grad(lambda t: loss_of(t, config))(tex0))
+        assert np.abs(g_ref).max() > 0.0
+        np.testing.assert_allclose(g_split, g_ref, rtol=2e-2,
+                                   atol=2e-4)

@@ -236,3 +236,52 @@ class TestBatchedInstances:
                                    np.asarray(hb.t)[both], rtol=1e-5)
         np.testing.assert_allclose(np.asarray(hi.pos)[both],
                                    np.asarray(hb.pos)[both], atol=1e-4)
+
+
+class TestInstancedMegaPath:
+    def test_intersect_raw_world_rows_match_intersect(self):
+        """intersect_raw's instanced world-space trow must reproduce
+        sc.intersect's hit shading info (the mega kernel consumes the
+        row verbatim; VERDICT r4 item 3)."""
+        si = _scene_instanced()
+        n = 128
+        rng = np.random.RandomState(5)
+        o = np.tile(np.array([[0.0, 0.0, 6.0]], np.float32), (n, 1))
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d[:, 2] = -np.abs(d[:, 2]) - 0.5
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        import os
+        os.environ["ARENDUR_INTERSECT"] = "pallas"
+        os.environ["ARENDUR_PALLAS_INTERPRET"] = "1"
+        try:
+            h = sc.intersect(si, jnp.asarray(o), jnp.asarray(d))
+            raw = sc.intersect_raw(si, jnp.asarray(o), jnp.asarray(d))
+            b0, b1 = sc._bary_from_vertices(
+                jnp.asarray(o), jnp.asarray(d), raw["trow"][:, 0:3],
+                raw["trow"][:, 3:6], raw["trow"][:, 6:9])
+            pos, perr, uv, dpdu, dpdv, ns_raw = sc.tri_shading_from_row(
+                raw["trow"], b0, b1)
+        finally:
+            del os.environ["ARENDUR_INTERSECT"]
+            del os.environ["ARENDUR_PALLAS_INTERPRET"]
+        hit = np.asarray(h.hit) & ~np.asarray(h.hit * 0, bool)
+        hit = np.asarray(raw["hit"])
+        np.testing.assert_array_equal(hit, np.asarray(h.hit))
+        np.testing.assert_allclose(np.asarray(raw["t"])[hit],
+                                   np.asarray(h.t)[hit], rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(pos)[hit],
+                                   np.asarray(h.pos)[hit], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(uv)[hit],
+                                   np.asarray(h.uv)[hit], atol=1e-5)
+
+    @pytest.mark.slow
+    def test_mega_render_matches_xla(self, monkeypatch):
+        """Instanced scene through the fused bounce kernel (interpret
+        mode) vs the XLA composition."""
+        ref = _render(_scene_instanced())
+        monkeypatch.setenv("ARENDUR_SHADE", "pallas")
+        monkeypatch.setenv("ARENDUR_INTERSECT", "pallas")
+        monkeypatch.setenv("ARENDUR_PALLAS_INTERPRET", "1")
+        img = _render(_scene_instanced())
+        assert ref.max() > 0.01
+        np.testing.assert_allclose(img, ref, atol=2e-3)
