@@ -56,6 +56,15 @@ class RenderConfig:
                                   # (lets the cluster kernel skip whole
                                   # ray tiles; costs ~12 fixed-cost ops
                                   # — ablatable, DESIGN.md §9.4)
+    cone_curvature: bool = True   # propagate the texture-LOD ray cone
+                                  # through specular bounces with the
+                                  # surface-curvature spread update
+                                  # (gamma' = gamma + 2*kappa*w, the
+                                  # ray-cones curvature rule); the
+                                  # wavefront stand-in for the
+                                  # reference's exact per-bounce
+                                  # spawn_ray_differential
+                                  # (interaction.rs:236-252)
     defer_final_mis: bool = True  # the extra closest-hit after the
                                   # loop that completes the deferred
                                   # MIS bsdf branch at the last vertex
@@ -276,6 +285,24 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
                           carry["specular"], carry["cone_w"],
                           carry["sel_prev"], carry["wb_prev"],
                           carry["nee_prev"], carry["st"])
+        cone_g = carry["cone_g"]
+
+        def curv_spread(is_sph, s_idx, w_at_hit, spec_bounce):
+            """Curvature growth of the cone spread at a specular
+            bounce: gamma' = gamma + 2*kappa*w (ray-cones rule;
+            kappa = 1/r on spheres, 0 on flat triangles).  |kappa| is
+            used for both reflection and refraction — a conservative
+            (never-undersampling) bound where the reference's
+            spawn_ray_differential is exact."""
+            if spread is None or not config.cone_curvature:
+                return cone_g
+            radius = jnp.asarray(scene.spheres.radius)
+            if radius.shape[0] == 0:
+                return cone_g
+            kappa = jnp.where(is_sph, 1.0 /
+                              jnp.maximum(radius[s_idx], 1e-6), 0.0)
+            return cone_g + jnp.where(spec_bounce,
+                                      2.0 * kappa * w_at_hit, 0.0)
         dim0 = smp.BOUNCE_DIM_BASE + bounce * smp.DIMS_PER_BOUNCE
         # named phases mirror the reference's flame spans
         # ("pt rendering" / "pt light calculation" / "pt add sample",
@@ -316,7 +343,7 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
                     o, d, raw["t"][:, None],
                     b1(raw["hit"]), b1(raw["is_sphere"]),
                     f1(raw["s_idx"]), raw["p_local"], raw["trow"],
-                    cone_w[:, None], spread[:, None],
+                    cone_w[:, None], cone_g[:, None],
                 ], axis=1))
                 with jax.named_scope("pt_shade_hit"):
                     hout = sg(cb.hit_shade_t(
@@ -353,9 +380,13 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
                 L_out = r["L"] + jnp.where(
                     (r["need_shadow"] & ~blocked)[..., None],
                     r["contrib"], 0.0)
+                cone_g2 = curv_spread(
+                    raw["is_sphere"], raw["s_idx"], hi["cone_w"],
+                    r["alive"] & r["specular"] & raw["hit"])
                 return dict(o=r["o"], d=r["d"], L=L_out,
                             beta=r["beta"], alive=r["alive"],
                             specular=r["specular"], cone_w=hi["cone_w"],
+                            cone_g=cone_g2,
                             sel_prev=r["sel_prev"],
                             wb_prev=r["wb_prev"],
                             nee_prev=r["nee_prev"], st=st)
@@ -396,7 +427,8 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
                 r["contrib"], 0.0)
             return dict(o=r["o"], d=r["d"], L=L_out, beta=r["beta"],
                         alive=r["alive"], specular=r["specular"],
-                        cone_w=cone_w, sel_prev=r["sel_prev"],
+                        cone_w=cone_w, cone_g=cone_g,
+                        sel_prev=r["sel_prev"],
                         wb_prev=r["wb_prev"], nee_prev=r["nee_prev"],
                         st=st)
 
@@ -427,7 +459,7 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         if spread is not None:
             from arendur_tpu.geometry import dxy as dxymod
             ft = jnp.where(hit.hit, hit.t, 0.0)
-            r_cone = cone_w + spread * ft
+            r_cone = cone_w + cone_g * ft
             duvdx, duvdy = dxymod.cone_duv(
                 r_cone, d, hit.ng, hit.dpdu, hit.dpdv)
             cone_w = jnp.where(hit.hit, r_cone, cone_w)
@@ -497,8 +529,14 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         beta = jnp.where((roulette & ~killed)[..., None],
                          beta / (1.0 - q), beta)
         alive = alive & ~killed
+        if spread is not None:
+            is_sph_h = hit.hit & (hit.prim >= scene.n_tris)
+            s_idx_h = jnp.maximum(hit.prim - scene.n_tris, 0)
+            cone_g = curv_spread(
+                is_sph_h, s_idx_h, cone_w,
+                alive & ((kind & SPECULAR) != 0))
         return dict(o=o, d=d, L=L, beta=beta, alive=alive,
-                    specular=specular, cone_w=cone_w,
+                    specular=specular, cone_w=cone_w, cone_g=cone_g,
                     sel_prev=sel_prev, wb_prev=wb_prev,
                     nee_prev=nee_prev, st=st)
 
@@ -507,7 +545,10 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
     st = dict(keys=ws.keys, pid=pixel_id + zi, sid=sample_id + zi,
               orig=jnp.arange(n, dtype=jnp.int32) + zi)
     carry = dict(o=o, d=d, L=L, beta=beta, alive=alive,
-                 specular=specular, cone_w=zf + 0.0, sel_prev=zi + 0,
+                 specular=specular, cone_w=zf + 0.0,
+                 cone_g=(zf + spread if spread is not None
+                         else zf + 0.0),
+                 sel_prev=zi + 0,
                  wb_prev=zf + 0.0, nee_prev=o[:, 0] != o[:, 0], st=st)
     if config.unroll_bounces:
         for bounce in range(config.max_depth):
