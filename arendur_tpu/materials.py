@@ -195,12 +195,20 @@ def param_table(table: MaterialTable):
 def resolve_params(table: MaterialTable, mat_id, ns, ng, dpdu,
                    uv=None, textures=None, dpdv=None,
                    duvdx=None, duvdy=None,
-                   tex_filter: str = "trilinear"):
+                   tex_filter: str = "trilinear",
+                   tex_present=None):
     """Gather + texture-resolve the hit's material parameters (the
     pre-recipe half of compute_scattering; the Pallas bounce kernel
     takes these resolved columns as inputs and runs build_slots
     in-kernel).  Returns (mtype, kd, ks, sigma, roughness, eta,
-    dissolve, ns', dpdu') — ns/dpdu possibly bump-mapped."""
+    dissolve, ns', dpdu') — ns/dpdu possibly bump-mapped.
+
+    tex_present: optional host-static (kd, ks, sigma, bump) bool
+    4-tuple saying which texture channels any material actually uses.
+    Callers that trace with an already-jax table (the integrator)
+    MUST pass it: the any_tex fallback below cannot inspect traced
+    leaves and conservatively emits every channel's gathers — ~4-8 ms
+    of DMA per gather per bounce on the TPU wavefront (DESIGN §10.7)."""
     from arendur_tpu.geometry.vec import as_jax
     table = as_jax(table)
     n = mat_id.shape[0]
@@ -231,23 +239,31 @@ def resolve_params(table: MaterialTable, mat_id, ns, ng, dpdu,
 
     if textures is not None and uv is not None:
         from arendur_tpu.texturing import texture as tx
-        kd_tex = row[:, 11].astype(jnp.int32)
-        ks_tex = row[:, 12].astype(jnp.int32)
-        kd = tx.eval_rgb(textures, kd_tex, uv, kd,
-                         duvdx=duvdx, duvdy=duvdy, filter=tex_filter)
-        ks = tx.eval_rgb(textures, ks_tex, uv, ks,
-                         duvdx=duvdx, duvdy=duvdy, filter=tex_filter)
+
         # skip the lookup entirely when no material in the scene uses
-        # one (host-checkable: table leaves stay NumPy by design)
-        def any_tex(col):
+        # one (host-checkable: table leaves stay NumPy by design) —
+        # each skipped channel saves its gathers on every bounce
+        def any_tex(col, i):
+            if tex_present is not None:
+                return bool(tex_present[i])
             try:
                 return bool(np.any(np.asarray(col) >= 0))
             except Exception:   # traced leaf: can't tell, do the work
                 return True
-        if any_tex(table.sigma_tex):
+        if any_tex(table.kd_tex, 0):
+            kd_tex = row[:, 11].astype(jnp.int32)
+            kd = tx.eval_rgb(textures, kd_tex, uv, kd,
+                             duvdx=duvdx, duvdy=duvdy,
+                             filter=tex_filter)
+        if any_tex(table.ks_tex, 1):
+            ks_tex = row[:, 12].astype(jnp.int32)
+            ks = tx.eval_rgb(textures, ks_tex, uv, ks,
+                             duvdx=duvdx, duvdy=duvdy,
+                             filter=tex_filter)
+        if any_tex(table.sigma_tex, 2):
             sigma = tx.eval_gray(textures, row[:, 13].astype(jnp.int32),
                                  uv, sigma, duvdx=duvdx, duvdy=duvdy)
-        if dpdv is not None and any_tex(table.bump_tex):
+        if dpdv is not None and any_tex(table.bump_tex, 3):
             ns, dpdu = apply_bump(
                 textures, row[:, 14].astype(jnp.int32), uv, ns, ng, dpdu,
                 dpdv, duvdx=duvdx, duvdy=duvdy)
@@ -285,22 +301,39 @@ def dist_presence(table: MaterialTable):
     return tuple(sorted((k, tuple(sorted(v))) for k, v in out.items()))
 
 
+def tex_channel_presence(table: MaterialTable):
+    """Host-static (kd, ks, sigma, bump) bool 4-tuple of texture
+    channels any material row uses, or None when the table is traced.
+    Compute this BEFORE handing the scene to jit and pass it to
+    resolve_params/compute_scattering: inside a trace the leaves are
+    abstract and the per-channel skip cannot be derived."""
+    try:
+        return tuple(bool((np.asarray(c) >= 0).any()) for c in
+                     (table.kd_tex, table.ks_tex, table.sigma_tex,
+                      table.bump_tex))
+    except Exception:
+        return None
+
+
 def compute_scattering(table: MaterialTable, mat_id, ns, ng, dpdu,
                        uv=None, textures=None, dpdv=None,
                        duvdx=None, duvdy=None,
-                       tex_filter: str = "trilinear") -> BsdfSlots:
+                       tex_filter: str = "trilinear",
+                       tex_present=None) -> BsdfSlots:
     """Build the BSDF slot table for N hits.
 
     mat_id [N] int32; ns/ng/dpdu [N,3] world-space shading data.
     With `textures` (texturing milestone), kd/ks/sigma are overridden
     by image-texture lookups at `uv` where *_tex >= 0; duvdx/duvdy
     [N,2] drive mipmap LOD (trilinear) or EWA anisotropic filtering.
+    tex_present: see resolve_params.
     """
     presence = slot_presence(table)
     (mtype, kd, ks, sigma, roughness, eta, dissolve, ns, dpdu) = \
         resolve_params(table, mat_id, ns, ng, dpdu, uv=uv,
                        textures=textures, dpdv=dpdv, duvdx=duvdx,
-                       duvdy=duvdy, tex_filter=tex_filter)
+                       duvdy=duvdy, tex_filter=tex_filter,
+                       tex_present=tex_present)
     return build_slots(mtype, kd, ks, sigma, roughness, eta, dissolve,
                        ns, ng, dpdu, presence,
                        dist_sets=dist_presence(table))

@@ -205,6 +205,10 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         mega_pk, _cidx, mega_lpresent = sc.light_pack(scene)
         mega_lcidx = tuple(sorted(_cidx.items()))
         mega_emi = tuple(_cidx["emission"])
+    # host-static texture-channel presence MUST be derived before
+    # as_jax: each unused channel skipped saves its per-bounce
+    # gathers (~4-8 ms of descriptor-bound DMA each on the wavefront)
+    tex_present = mats.tex_channel_presence(scene.materials)
     scene = as_jax(scene)
     ws = smp.WaveSampler(base_key, pixel_id, sample_id,
                          kind=config.sampler,
@@ -355,7 +359,8 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
                     hi["ng"], hi["dpdu"], uv=hi["uv"],
                     textures=config.textures, dpdv=hi["dpdv"],
                     duvdx=hi["duvdx"], duvdy=hi["duvdy"],
-                    tex_filter=config.tex_filter)
+                    tex_filter=config.tex_filter,
+                    tex_present=tex_present)
                 xs = jnp.concatenate([
                     d, hi["pos"], hi["pos_err"], hi["ng"], ns_r,
                     dpdu_r, f1(mtype_r), kd_r, ks_r,
@@ -468,7 +473,8 @@ def trace_wave(scene: sc.SceneData, camera: cam.CameraData,
         bsdf = mats.compute_scattering(
             scene.materials, hit.mat_id, hit.ns, hit.ng, hit.dpdu,
             uv=hit.uv, textures=config.textures, dpdv=hit.dpdv,
-            duvdx=duvdx, duvdy=duvdy, tex_filter=config.tex_filter)
+            duvdx=duvdx, duvdy=duvdy, tex_filter=config.tex_filter,
+            tex_present=tex_present)
         # NEE runs when any slot matches non-specular tags
         # (ref: pt.rs:85-91; note FresnelBxdf *does* match because its
         # kind includes R|T bits)

@@ -214,7 +214,13 @@ class AtlasBuilder:
                 if l < len(im["levels"]):
                     offset[t, l] = cursor
                     height[t, l], width[t, l] = lev.shape[:2]
-                    texels.append(lev.reshape(-1, 3))
+                    # texel rows padded to 4 floats: a 16-byte-aligned
+                    # row halves the wavefront gather's DMA cost vs
+                    # 12-byte rows (measured 7.9 -> 3.7 ms per [N,8]
+                    # gather, DESIGN §10.7)
+                    flat = lev.reshape(-1, 3)
+                    texels.append(np.concatenate(
+                        [flat, np.zeros_like(flat[:, :1])], 1))
                     cursor += lev.shape[0] * lev.shape[1]
                 else:
                     offset[t, l] = offset[t, l - 1]
@@ -250,7 +256,7 @@ def _fetch_level(atlas: TextureAtlas, tex_id, level, x, y):
     mode = atlas.wrap[tex_id]
     xi, oob_x = _wrap_coords(x, w, mode)
     yi, oob_y = _wrap_coords(y, h, mode)
-    texel = atlas.texels[off + yi * w + xi]
+    texel = atlas.texels[off + yi * w + xi][..., :3]
     black = (mode == WRAP_BLACK) & (oob_x | oob_y)
     return jnp.where(black[..., None], 0.0, texel)
 
@@ -281,6 +287,71 @@ def _trilinear(atlas, tex_id, lod, su, sv):
     f = (l - l0.astype(jnp.float32))[..., None]
     return ((1 - f) * _bilinear(atlas, tex_id, l0, su, sv)
             + f * _bilinear(atlas, tex_id, l1, su, sv))
+
+
+def _level_corners(mode, off, w, h, su, sv):
+    """Per-level bilinear corner indices + weights from a packed
+    (offset, width, height) row.  Returns (idx [N,4], wt [N,4])."""
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    x = su * wf - 0.5
+    y = sv * hf - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0.astype(jnp.float32)
+    fy = y - y0.astype(jnp.float32)
+    idx, wt = [], []
+    for dx, dy, wgt in ((0, 0, (1 - fx) * (1 - fy)),
+                        (1, 0, fx * (1 - fy)),
+                        (0, 1, (1 - fx) * fy),
+                        (1, 1, fx * fy)):
+        xi, ox = _wrap_coords(x0 + dx, w, mode)
+        yi, oy = _wrap_coords(y0 + dy, h, mode)
+        black = (mode == WRAP_BLACK) & (ox | oy)
+        idx.append(off + yi * w + xi)
+        wt.append(jnp.where(black, 0.0, wgt))
+    return jnp.stack(idx, -1), jnp.stack(wt, -1)
+
+
+def _trilinear_packed(atlas, tex_id, lod, su, sv, mode=None,
+                      max_level=None):
+    """Trilinear lookup with TWO table gathers + ONE texel gather.
+
+    The naive composition (_trilinear -> _bilinear -> _fetch_level)
+    costs ~45 separate gathers per lookup (offset/width/height/wrap
+    per corner per level); on the TPU wavefront every gather is a
+    fixed-cost HBM round trip, so the textured bounce was gather-bound
+    (DESIGN §10.7).  Here the per-level (offset, width, height) rows
+    ride one packed [T*L, 3] table (two gathers: l0, l1) and all 8
+    corner texels ride one [N, 8] gather, with the bilinear and
+    level-lerp weights folded into a single weighted sum."""
+    T, L = atlas.offset.shape
+    meta3 = jnp.stack([atlas.offset, atlas.width, atlas.height],
+                      -1)                                   # [T,L,3]
+    # each row also carries the NEXT level's (off, w, h) so one gather
+    # serves both trilinear levels; the last row points at itself,
+    # which is safe because f == 0 whenever l0 == max_level
+    nxt = jnp.concatenate([meta3[:, 1:], meta3[:, -1:]], 1)
+    meta6 = jnp.concatenate([meta3, nxt], -1).reshape(T * L, 6)
+    if max_level is None:
+        max_level = atlas.n_levels[tex_id] - 1
+    if mode is None:
+        mode = atlas.wrap[tex_id]
+    l = jnp.clip(lod, 0.0, max_level.astype(jnp.float32))
+    l0 = jnp.floor(l).astype(jnp.int32)
+    f = l - l0.astype(jnp.float32)
+    m = meta6[tex_id * L + l0]                              # [N,6]
+    m0 = m[:, 0:3]
+    m1 = m[:, 3:6]
+    idx0, wt0 = _level_corners(mode, m0[:, 0], m0[:, 1], m0[:, 2],
+                               su, sv)
+    idx1, wt1 = _level_corners(mode, m1[:, 0], m1[:, 1], m1[:, 2],
+                               su, sv)
+    idx = jnp.concatenate([idx0, idx1], -1)                 # [N,8]
+    wts = jnp.concatenate([wt0 * (1.0 - f)[..., None],
+                           wt1 * f[..., None]], -1)         # [N,8]
+    tex = atlas.texels[idx][..., :3]                        # [N,8,3]
+    return jnp.sum(wts[..., None] * tex, axis=-2)
 
 
 MAX_ANISO = 8.0       # ref: image.rs max_aniso clamp
@@ -385,24 +456,40 @@ def sample_texture(atlas: TextureAtlas, tex_id, uv, lod=None,
     lod [N] enables trilinear level interpolation directly; duvdx/duvdy
     [N,2] screen-space uv derivatives derive the lod (trilinear) or
     drive the full anisotropic filter (filter="ewa")."""
-    su = uv[..., 0] * atlas.uv_scale[tex_id, 0] + atlas.uv_shift[tex_id, 0]
-    sv = uv[..., 1] * atlas.uv_scale[tex_id, 1] + atlas.uv_shift[tex_id, 1]
+    # one [N, 8] gather for every per-texture scalar table (uv map,
+    # level count, wrap mode, scale): each separate [N] table gather
+    # is a fixed-cost HBM round trip on the wavefront
+    tmeta = jnp.concatenate([
+        atlas.uv_scale, atlas.uv_shift,
+        atlas.n_levels.astype(jnp.float32)[:, None],
+        atlas.wrap.astype(jnp.float32)[:, None],
+        atlas.scale[:, None],
+    ], axis=1)[tex_id]                                      # [N,7]
+    su = uv[..., 0] * tmeta[:, 0] + tmeta[:, 2]
+    sv = uv[..., 1] * tmeta[:, 1] + tmeta[:, 3]
+    n_levels = tmeta[:, 4]
+    mode = tmeta[:, 5].astype(jnp.int32)
+    max_level = n_levels.astype(jnp.int32) - 1
     if duvdx is not None and filter == "ewa":
         out = _ewa(atlas, tex_id, su, sv, duvdx, duvdy)
     elif duvdx is not None:
         # isotropic width = 2 * max |derivative| (image.rs:411-420)
-        sc = atlas.uv_scale[tex_id]
+        sc = tmeta[:, 0:2]
         width = 2.0 * jnp.maximum(
             jnp.max(jnp.abs(duvdx * sc), -1),
             jnp.max(jnp.abs(duvdy * sc), -1))
-        n_levels = atlas.n_levels[tex_id].astype(jnp.float32)
         lod_w = n_levels - 1.0 + jnp.log2(jnp.maximum(width, 1e-8))
-        out = _trilinear(atlas, tex_id, jnp.maximum(lod_w, 0.0), su, sv)
+        out = _trilinear_packed(atlas, tex_id,
+                                jnp.maximum(lod_w, 0.0), su, sv,
+                                mode=mode, max_level=max_level)
     elif lod is None:
-        out = _bilinear(atlas, tex_id, jnp.zeros_like(tex_id), su, sv)
+        out = _trilinear_packed(atlas, tex_id,
+                                jnp.zeros_like(su), su, sv,
+                                mode=mode, max_level=max_level)
     else:
-        out = _trilinear(atlas, tex_id, lod, su, sv)
-    return out * atlas.scale[tex_id][..., None]
+        out = _trilinear_packed(atlas, tex_id, lod, su, sv,
+                                mode=mode, max_level=max_level)
+    return out * tmeta[:, 6][..., None]
 
 
 def eval_rgb(atlas: Optional[TextureAtlas], tex_id, uv, fallback,
@@ -444,7 +531,7 @@ def texture_distribution_2d(atlas: TextureAtlas, tex_id: int, f=None):
     off = int(np.asarray(atlas.offset)[tex_id, 0])
     w = int(np.asarray(atlas.width)[tex_id, 0])
     h = int(np.asarray(atlas.height)[tex_id, 0])
-    tex = np.asarray(atlas.texels)[off:off + w * h].reshape(h, w, 3)
+    tex = np.asarray(atlas.texels)[off:off + w * h, :3].reshape(h, w, 3)
     if f is None:
         weights = (0.212671 * tex[..., 0] + 0.715160 * tex[..., 1]
                    + 0.072169 * tex[..., 2])

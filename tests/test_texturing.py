@@ -20,7 +20,7 @@ class TestAtlas:
         # top level texel = global mean = 0.5
         top_off = int(atlas.offset[tid, 3])
         np.testing.assert_allclose(
-            np.asarray(atlas.texels[top_off]), 0.5, atol=1e-6)
+            np.asarray(atlas.texels[top_off][:3]), 0.5, atol=1e-6)
 
     def test_point_lookup(self):
         b = tx.AtlasBuilder()

@@ -82,8 +82,17 @@ def main():
               f"{WAVE/dt/1e3:8.1f}K paths/s")
         return dt
 
+    # ablation: hybrid-split path with NO textured channel (kd_tex
+    # stays -1 but config.textures is set) — isolates the split's
+    # structural overhead (2 launches + pack/unpack + XLA middle)
+    # from the texture gathers themselves
+    scene_n = scene.replace(materials=mt.replace(
+        kd_tex=np.full_like(np.asarray(mt.kd_tex), -1)))
+    notex = make(scene_n, config_t)
+
     timeit("plain wave", plain)
     timeit("textured wave", tex)
+    timeit("split, no textured channel", notex)
 
     with jax.profiler.trace(out):
         jax.block_until_ready(tex())
